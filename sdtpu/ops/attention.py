@@ -1,0 +1,70 @@
+"""Multi-head attention with the reference's exact scaling.
+
+The reference's single attention kernel (reference: src/model/attention.rs:5-44,
+duplicated at src/backend.rs:88-128) scales BOTH q and k by
+(n_state/n_head)^-0.25 before the q @ k^T product, adds an optional additive
+mask, softmaxes over the key axis, and applies the value weighting.
+
+This module is the XLA-fused reference path; the Pallas flash-attention
+kernel in sdtpu/ops/flash_attention.py implements the same math blockwise
+and is selected via `sdtpu.ops.dispatch`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = float("-inf")
+
+
+def causal_mask(seq_len: int, dtype=jnp.float32):
+    """Dense additive causal mask: 0 on/below the diagonal, -inf above
+    (reference: src/model/attention.rs:47-56 builds this with an O(seq)
+    slice_assign loop; here it is one triu)."""
+    return jnp.triu(jnp.full((seq_len, seq_len), NEG_INF, dtype=dtype), k=1)
+
+
+def qkv_attention(
+    q,
+    k,
+    v,
+    mask=None,
+    n_head: int = 1,
+    key_valid: Optional[jnp.ndarray] = None,
+):
+    """Attention over flattened-head inputs.
+
+    q: [B, Sq, D], k/v: [B, Sk, D]; mask: additive [Sq, Sk] or None;
+    key_valid: optional boolean [B, Sk] marking real (non-padding) keys —
+    used by the static-shape fast path; -inf is added to invalid keys,
+    which reproduces the reference's unpadded variable-length softmax
+    exactly (masked keys get zero weight).
+
+    Returns [B, Sq, D]. Softmax statistics are computed in f32.
+    """
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    d_head = d // n_head
+    scale = (d / n_head) ** -0.25
+
+    q = (q * scale).reshape(b, sq, n_head, d_head).transpose(0, 2, 1, 3)
+    k = (k * scale).reshape(b, sk, n_head, d_head).transpose(0, 2, 1, 3)
+    v = v.reshape(b, sk, n_head, d_head).transpose(0, 2, 1, 3)
+
+    # [B, h, Sq, Sk] — accumulate on the MXU in f32
+    qk = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+
+    if mask is not None:
+        qk = qk + mask[:sq, :sk]
+    if key_valid is not None:
+        qk = jnp.where(key_valid[:, None, None, :], qk, NEG_INF)
+
+    w = jnp.exp(qk - lax.stop_gradient(qk.max(axis=-1, keepdims=True)))
+    w = w / w.sum(axis=-1, keepdims=True)
+    w = w.astype(v.dtype)
+
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
+    return o.astype(v.dtype).transpose(0, 2, 1, 3).reshape(b, sq, d)

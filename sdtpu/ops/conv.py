@@ -1,0 +1,73 @@
+"""Dense / conv / embedding primitives (NHWC, HWIO — TPU-native layouts).
+
+Weight conventions:
+- linear:   w [in, out] (the reference's dump format already stores linears
+            transposed to [in, out] — python/save.py:19 — so `x @ w` applies
+            directly), b [out]
+- conv2d:   w [kh, kw, in, out] (HWIO; converted from the checkpoint's OIHW
+            at load time), b [out]
+- embedding: w [vocab, dim]
+
+Asymmetric padding (the VAE encoder's (0,1,0,1) downsample pad,
+reference: src/model/autoencoder/mod.rs:226-247) is expressed directly via
+`lax.conv_general_dilated`'s explicit padding — the reference's
+PaddedConv2d over-pad + output-slice emulation (autoencoder/mod.rs:326-412)
+exists only because burn lacked asymmetric padding.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from jax import lax
+
+PadT = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def linear(params, x):
+    w = params["w"]
+    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    b = params.get("b")
+    if b is not None:
+        y = y + b
+    return y
+
+
+def embedding(params, ids):
+    return params["w"][ids]
+
+
+def conv2d(params, x, stride: int = 1, padding: PadT = 0):
+    """2-D cross-correlation, NHWC activations, HWIO weights.
+
+    padding: int p -> symmetric ((p,p),(p,p)), or explicit
+    ((top,bottom),(left,right)).
+    """
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    b = params.get("b")
+    if b is not None:
+        y = y + b
+    return y
+
+
+def nearest_upsample_2x(x):
+    """Nearest-neighbour 2x upsample via reshape/tile, exactly the
+    reference's construction (src/model/unet/mod.rs:391-397,
+    src/model/autoencoder/mod.rs:314-319) in NHWC."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, 1, w, 1, c)
+    x = jnp.tile(x, (1, 1, 2, 1, 2, 1))
+    return x.reshape(b, 2 * h, 2 * w, c)
