@@ -1,0 +1,42 @@
+"""Random param-tree initializers.
+
+The reference can only load weights, never train; we keep initializers so
+the framework runs standalone (tests, benches, training from scratch).
+Shapes follow sdtpu conventions: linear [in,out], conv HWIO, see
+sdtpu/ops/conv.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / (fan_in ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_linear(key, n_in: int, n_out: int, bias: bool = True, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    p = {"w": _fan_in_uniform(kw, (n_in, n_out), n_in, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(kb, (n_out,), n_in, dtype)
+    return p
+
+
+def init_conv2d(key, n_in: int, n_out: int, k: int = 3, bias: bool = True, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = n_in * k * k
+    p = {"w": _fan_in_uniform(kw, (k, k, n_in, n_out), fan_in, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(kb, (n_out,), fan_in, dtype)
+    return p
+
+
+def init_norm(n: int, dtype=jnp.float32):
+    return {"g": jnp.ones((n,), dtype), "b": jnp.zeros((n,), dtype)}
+
+
+def init_embedding(key, n_vocab: int, n_dim: int, dtype=jnp.float32):
+    return {"w": jax.random.normal(key, (n_vocab, n_dim), dtype) * 0.02}

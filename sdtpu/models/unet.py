@@ -1,0 +1,300 @@
+"""SD v1 UNet epsilon-predictor (reference: src/model/unet/mod.rs).
+
+The reference spells the block list out as 24 named struct fields
+(unet/mod.rs:41-73); here the identical structure is *derived* from
+UNetConfig (channel_mult, n_res_blocks, attention_levels), so SD v2 or
+custom UNets are config edits. Block names are generated to match the
+reference dump-tree names exactly (input_blocks/{conv,rt1..rt6,d1..d3,
+r1,r2}, middle_block, output_blocks/{r1,r2,ru,rt1..rt7,rtu1,rtu2}) so the
+npy loader walks straight in (unet/load.rs:213-279).
+
+Forward pass (unet/mod.rs:109-142): timestep embedding -> MLP; 12 input
+blocks pushing a skip stack; middle Res+Transformer+Res; 12 output blocks
+each concatenating one popped skip on the channel axis; GroupNorm/SiLU/
+conv out. Activations are NHWC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdtpu.config import UNetConfig
+from sdtpu.models.initializers import init_conv2d, init_linear, init_norm
+from sdtpu.ops import (
+    conv2d,
+    geglu,
+    group_norm,
+    layer_norm,
+    linear,
+    qkv_attention,
+    silu,
+    timestep_embedding,
+)
+from sdtpu.ops.conv import nearest_upsample_2x
+
+
+# ------------------------------------------------------------ structure
+
+@dataclass(frozen=True)
+class BlockSpec:
+    name: str
+    kind: str  # conv | res | res_t | down | up-flag carried separately
+    c_in: int
+    c_out: int
+    transformer: bool = False
+    upsample: bool = False
+    n_head: int = 8
+
+
+def build_input_specs(cfg: UNetConfig) -> List[BlockSpec]:
+    specs: List[BlockSpec] = [
+        BlockSpec("conv", "conv", cfg.in_channels, cfg.model_channels)
+    ]
+    rt = r = d = 0
+    ch = cfg.model_channels
+    for level, mult in enumerate(cfg.channel_mult):
+        out = mult * cfg.model_channels
+        attn = level in cfg.attention_levels
+        for _ in range(cfg.n_res_blocks):
+            if attn:
+                rt += 1
+                specs.append(BlockSpec(f"rt{rt}", "res", ch, out, transformer=True,
+                                       n_head=cfg.heads_for(out)))
+            else:
+                r += 1
+                specs.append(BlockSpec(f"r{r}", "res", ch, out))
+            ch = out
+        if level != len(cfg.channel_mult) - 1:
+            d += 1
+            specs.append(BlockSpec(f"d{d}", "down", ch, ch))
+    return specs
+
+
+def build_output_specs(cfg: UNetConfig) -> Tuple[List[BlockSpec], List[int]]:
+    """Returns output block specs plus the skip-channel list they consume
+    (mirrors the input stack order)."""
+    # reconstruct the skip channel stack from the input specs
+    skip: List[int] = [s.c_out for s in build_input_specs(cfg)]
+    specs: List[BlockSpec] = []
+    rt = r = rtu = ru = 0
+    names_pending: List[Tuple[str, int]] = []
+    ch = skip[-1]
+    for level in reversed(range(len(cfg.channel_mult))):
+        mult = cfg.channel_mult[level]
+        out = mult * cfg.model_channels
+        attn = level in cfg.attention_levels
+        for i in range(cfg.n_res_blocks + 1):
+            ich = skip.pop()
+            up = level != 0 and i == cfg.n_res_blocks
+            if attn and up:
+                rtu += 1
+                name = f"rtu{rtu}"
+            elif attn:
+                rt += 1
+                name = f"rt{rt}"
+            elif up:
+                ru += 1
+                name = f"ru{ru}"
+            else:
+                r += 1
+                name = f"r{r}"
+            specs.append(BlockSpec(name, "res", ch + ich, out, transformer=attn,
+                                   upsample=up, n_head=cfg.heads_for(out)))
+            ch = out
+    # the reference names the single plain res+upsample block "ru", not
+    # "ru1" (unet/mod.rs:63); collapse singleton counters
+    if ru == 1:
+        specs = [BlockSpec("ru", s.kind, s.c_in, s.c_out, s.transformer, s.upsample,
+                           s.n_head) if s.name == "ru1" else s for s in specs]
+    return specs, [s.c_in for s in specs]
+
+
+# ------------------------------------------------------------ init
+
+def _init_res_block(key, c_in, c_embed, c_out, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "norm_in": init_norm(c_in, dtype),
+        "conv_in": init_conv2d(k1, c_in, c_out, 3, dtype=dtype),
+        "lin_embed": init_linear(k2, c_embed, c_out, dtype=dtype),
+        "norm_out": init_norm(c_out, dtype),
+        "conv_out": init_conv2d(k3, c_out, c_out, 3, dtype=dtype),
+    }
+    if c_in != c_out:
+        p["skip_connection"] = init_conv2d(k4, c_in, c_out, 1, dtype=dtype)
+    return p
+
+
+def _init_cross_attn(key, n_state, n_ctx_state, dtype):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "query": init_linear(kq, n_state, n_state, bias=False, dtype=dtype),
+        "key": init_linear(kk, n_ctx_state, n_state, bias=False, dtype=dtype),
+        "value": init_linear(kv, n_ctx_state, n_state, bias=False, dtype=dtype),
+        "out": init_linear(ko, n_state, n_state, dtype=dtype),
+    }
+
+
+def _init_transformer(key, ch, ctx_dim, dtype):
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    return {
+        "norm": init_norm(ch, dtype),
+        "proj_in": init_conv2d(k1, ch, ch, 1, dtype=dtype),
+        "transformer": {
+            "norm1": init_norm(ch, dtype),
+            "attn1": _init_cross_attn(k2, ch, ch, dtype),
+            "norm2": init_norm(ch, dtype),
+            "attn2": _init_cross_attn(k3, ch, ctx_dim, dtype),
+            "norm3": init_norm(ch, dtype),
+            "mlp": {
+                "geglu": {"proj": init_linear(k4, ch, 8 * ch, dtype=dtype)},
+                "lin": init_linear(k5, 4 * ch, ch, dtype=dtype),
+            },
+        },
+        "proj_out": init_conv2d(k6, ch, ch, 1, dtype=dtype),
+    }
+
+
+def _init_block(key, spec: BlockSpec, cfg: UNetConfig, dtype):
+    if spec.kind == "conv":
+        return init_conv2d(key, spec.c_in, spec.c_out, 3, dtype=dtype)
+    if spec.kind == "down":
+        return init_conv2d(key, spec.c_in, spec.c_out, 3, dtype=dtype)
+    kr, kt, ku = jax.random.split(key, 3)
+    p = {}
+    res = _init_res_block(kr, spec.c_in, cfg.time_embed_dim, spec.c_out, dtype)
+    if spec.transformer or spec.upsample:
+        p["res"] = res
+    else:
+        p = res  # bare ResBlock params live at the block root (r1, r2)
+    if spec.transformer:
+        p["transformer"] = _init_transformer(kt, spec.c_out, cfg.context_dim, dtype)
+    if spec.upsample:
+        p["upsample"] = {"conv": init_conv2d(ku, spec.c_out, spec.c_out, 3, dtype=dtype)}
+    return p
+
+
+def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
+    in_specs = build_input_specs(cfg)
+    out_specs, _ = build_output_specs(cfg)
+    keys = jax.random.split(key, len(in_specs) + len(out_specs) + 8)
+    ki = iter(keys)
+
+    input_blocks = {s.name: _init_block(next(ki), s, cfg, dtype) for s in in_specs}
+
+    mid_ch = in_specs[-1].c_out
+    middle_block = {
+        "res1": _init_res_block(next(ki), mid_ch, cfg.time_embed_dim, mid_ch, dtype),
+        "transformer": _init_transformer(next(ki), mid_ch, cfg.context_dim, dtype),
+        "res2": _init_res_block(next(ki), mid_ch, cfg.time_embed_dim, mid_ch, dtype),
+    }
+
+    output_blocks = {s.name: _init_block(next(ki), s, cfg, dtype) for s in out_specs}
+
+    return {
+        "lin1_time_embed": init_linear(next(ki), cfg.model_channels, cfg.time_embed_dim, dtype=dtype),
+        "lin2_time_embed": init_linear(next(ki), cfg.time_embed_dim, cfg.time_embed_dim, dtype=dtype),
+        "input_blocks": input_blocks,
+        "middle_block": middle_block,
+        "output_blocks": output_blocks,
+        "norm_out": init_norm(cfg.model_channels, dtype),
+        "conv_out": init_conv2d(next(ki), cfg.model_channels, cfg.out_channels, 3, dtype=dtype),
+    }
+
+
+# ------------------------------------------------------------ apply
+
+def _res_block_apply(p, x, emb, cfg: UNetConfig):
+    """reference: unet/mod.rs:713-733."""
+    h = group_norm(x, p["norm_in"]["g"], p["norm_in"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    h = conv2d(p["conv_in"], silu(h), padding=1)
+    e = linear(p["lin_embed"], silu(emb))  # [B?, c_out]
+    h = h + e[:, None, None, :]
+    h = group_norm(h, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    h = conv2d(p["conv_out"], silu(h), padding=1)
+    if "skip_connection" in p:
+        x = conv2d(p["skip_connection"], x, padding=0)
+    return x + h
+
+
+def _mha_apply(p, x, context, n_head, key_valid=None):
+    """unet MultiHeadAttention (unet/mod.rs:642-652): q from x, k/v from
+    context (or x for self-attention), no mask in the reference; key_valid
+    implements the static-shape padded-context equivalent."""
+    xa = x if context is None else context
+    q = linear(p["query"], x)
+    k = linear(p["key"], xa)
+    v = linear(p["value"], xa)
+    return linear(p["out"], qkv_attention(q, k, v, None, n_head, key_valid=key_valid))
+
+
+def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
+    """SpatialTransformer (unet/mod.rs:462-480) + inner TransformerBlock
+    (unet/mod.rs:522-527)."""
+    b, h, w, c = x.shape
+    x_in = x
+    x = group_norm(x, p["norm"]["g"], p["norm"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    x = conv2d(p["proj_in"], x, padding=0).reshape(b, h * w, c)
+
+    t = p["transformer"]
+    x = x + _mha_apply(t["attn1"], layer_norm(x, t["norm1"]["g"], t["norm1"]["b"], cfg.ln_eps), None, n_head)
+    x = x + _mha_apply(t["attn2"], layer_norm(x, t["norm2"]["g"], t["norm2"]["b"], cfg.ln_eps),
+                       context, n_head, key_valid=ctx_valid)
+    hN = layer_norm(x, t["norm3"]["g"], t["norm3"]["b"], cfg.ln_eps)
+    proj = linear(t["mlp"]["geglu"]["proj"], hN)
+    val, gate = jnp.split(proj, 2, axis=-1)
+    x = x + linear(t["mlp"]["lin"], geglu(val, gate))
+
+    x = x.reshape(b, h, w, c)
+    return x_in + conv2d(p["proj_out"], x, padding=0)
+
+
+def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid):
+    if spec.kind == "conv":
+        return conv2d(p, x, padding=1)
+    if spec.kind == "down":
+        return conv2d(p, x, stride=2, padding=1)
+    res_p = p["res"] if (spec.transformer or spec.upsample) else p
+    x = _res_block_apply(res_p, x, emb, cfg)
+    if spec.transformer:
+        x = _transformer_apply(p["transformer"], x, context, cfg, spec.n_head, ctx_valid)
+    if spec.upsample:
+        x = conv2d(p["upsample"]["conv"], nearest_upsample_2x(x), padding=1)
+    return x
+
+
+def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None):
+    """x: [B, h, w, in_ch] NHWC latent; t: scalar (or [1]) timestep;
+    context: [B, S, context_dim]; ctx_valid: optional [B, S] bool marking
+    real context tokens (static-shape fast path).
+
+    Returns epsilon prediction [B, h, w, out_ch].
+    """
+    dtype = x.dtype
+    t_emb = timestep_embedding(t, cfg.model_channels, cfg.max_period, dtype=dtype)
+    emb = linear(params["lin2_time_embed"], silu(linear(params["lin1_time_embed"], t_emb)))
+
+    skips = []
+    h = x
+    for spec in build_input_specs(cfg):
+        h = _block_apply(params["input_blocks"][spec.name], spec, h, emb, context, cfg, ctx_valid)
+        skips.append(h)
+
+    m = params["middle_block"]
+    mid_heads = cfg.heads_for(h.shape[-1])
+    h = _res_block_apply(m["res1"], h, emb, cfg)
+    h = _transformer_apply(m["transformer"], h, context, cfg, mid_heads, ctx_valid)
+    h = _res_block_apply(m["res2"], h, emb, cfg)
+
+    out_specs, _ = build_output_specs(cfg)
+    for spec in out_specs:
+        h = jnp.concatenate([h, skips.pop()], axis=-1)
+        h = _block_apply(params["output_blocks"][spec.name], spec, h, emb, context, cfg, ctx_valid)
+
+    h = group_norm(h, params["norm_out"]["g"], params["norm_out"]["b"],
+                   cfg.groupnorm_groups, cfg.groupnorm_eps)
+    return conv2d(params["conv_out"], silu(h), padding=1)
