@@ -111,8 +111,14 @@ class StableDiffusionConfig:
     name: str = "sd-v1-4"
 
     @property
+    def vae_factor(self) -> int:
+        """Spatial down/up-scale factor: one stride-2 stage per VAE level
+        except the last (f=8 for SD's 4-level VAE)."""
+        return 2 ** (len(self.vae.decoder_channels) - 1)
+
+    @property
     def latent_size(self) -> int:
-        return self.image_size // 8
+        return self.image_size // self.vae_factor
 
 
 SD_V1_4 = StableDiffusionConfig(name="sd-v1-4")

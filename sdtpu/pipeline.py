@@ -1,0 +1,237 @@
+"""Text-to-image pipeline (reference: src/model/stablediffusion/mod.rs).
+
+Differences from the reference, by design:
+
+- The whole denoising loop is ONE jit-compiled `lax.scan`; per-step
+  (t, alpha_t, alpha_prev) are device arrays, eliminating the reference's
+  two `into_scalar()` host syncs per step (mod.rs:124-140).
+- Classifier-free guidance runs the cond/uncond pair as a single batched
+  UNet call — the optimization the reference left commented out
+  (mod.rs:181-188). `pad_context=False` restores the reference's exact
+  two-pass variable-length behaviour for parity checks.
+- The initial latent comes from a seeded JAX PRNG (the reference uses
+  unseeded libtorch Normal(0,1), mod.rs:115-121, so its outputs are not
+  reproducible even by itself); `initial_latent=` injects a fixed latent
+  for bit-comparable runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.config import SD_V1_4, StableDiffusionConfig
+from sdtpu.diffusion.ddim import ddim_alphas, ddim_schedule, ddim_step
+from sdtpu.models.clip import clip_apply
+from sdtpu.models.unet import unet_apply
+from sdtpu.models.vae import decode_latent, encode_image
+from sdtpu.tokenizer import SimpleTokenizer
+
+
+class StableDiffusion:
+    """Owns the param pytree {clip, unet, autoencoder, alphas_cumprod,
+    n_steps} (mirroring StableDiffusion's fields at mod.rs:41-48) and the
+    jitted compute graphs."""
+
+    def __init__(
+        self,
+        params,
+        config: StableDiffusionConfig = SD_V1_4,
+        compute_dtype=jnp.float32,
+        pad_context: bool = True,
+    ):
+        self.params = params
+        self.config = config
+        self.compute_dtype = compute_dtype
+        self.pad_context = pad_context
+        self.n_train_steps = int(params.get("n_steps", config.n_train_steps))
+
+        self._clip_jit = jax.jit(
+            lambda p, toks: clip_apply(p, toks, self.config.clip)
+        )
+        self._decode_jit = jax.jit(self._decode_to_u8)
+        self._encode_jit = jax.jit(
+            lambda p, img: encode_image(p, img, self.config.vae)
+        )
+
+    # ---------------------------------------------------------- context
+
+    def context(self, tokenizer: SimpleTokenizer, text: str):
+        """Prompt -> (context [1, S, n_state], valid [1, S] bool).
+
+        Parity with mod.rs:198-211: SOT/EOT wrap, no pad (pad_context=False)
+        or right-pad to n_ctx with a key-validity mask (default fast path —
+        masked keys reproduce unpadded softmax exactly).
+        """
+        ids = tokenizer.encode_prompt(text)
+        n_ctx = self.config.clip.n_ctx
+        if len(ids) > n_ctx:
+            ids = ids[:n_ctx]
+        n_valid = len(ids)
+        if self.pad_context:
+            ids = ids + [0] * (n_ctx - len(ids))
+        tokens = jnp.asarray(np.asarray(ids, np.int32)[None])
+        ctx = self._clip_jit(self.params["clip"], tokens)
+        valid = jnp.arange(len(ids))[None, :] < n_valid
+        return ctx.astype(self.compute_dtype), valid
+
+    def unconditional_context(self, tokenizer: SimpleTokenizer):
+        return self.context(tokenizer, "")
+
+    # ---------------------------------------------------------- sampler
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_steps", "parity_two_pass"))
+    def _sample_latent_jit(
+        self,
+        params,
+        latent,
+        context,
+        ctx_valid,
+        uncond_context,
+        uncond_valid,
+        guidance_scale,
+        n_steps: int,
+        parity_two_pass: bool,
+    ):
+        cfg = self.config
+        timesteps, step_size = ddim_schedule(self.n_train_steps, n_steps)
+        alphas = params["alphas_cumprod"].astype(jnp.float32)
+        a_t, a_prev = ddim_alphas(alphas, timesteps, step_size)
+        ts = jnp.asarray(timesteps, jnp.int32)
+
+        b = latent.shape[0]
+        uncond_b = jnp.broadcast_to(uncond_context, (b,) + uncond_context.shape[1:])
+        guidance_scale = jnp.asarray(guidance_scale, jnp.float32)
+
+        if parity_two_pass:
+            def denoise(lat, t):
+                x = lat.astype(self.compute_dtype)
+                e_un = unet_apply(params["unet"], x, t, uncond_b, cfg.unet,
+                                  ctx_valid=None if uncond_valid is None else
+                                  jnp.broadcast_to(uncond_valid, (b,) + uncond_valid.shape[1:]))
+                e_c = unet_apply(params["unet"], x, t, context, cfg.unet,
+                                 ctx_valid=ctx_valid)
+                e_un, e_c = e_un.astype(jnp.float32), e_c.astype(jnp.float32)
+                return e_un + (e_c - e_un) * guidance_scale
+        else:
+            ctx2 = jnp.concatenate([uncond_b, context], axis=0)
+            valid2 = None
+            if ctx_valid is not None:
+                valid2 = jnp.concatenate(
+                    [jnp.broadcast_to(uncond_valid, (b,) + uncond_valid.shape[1:]), ctx_valid],
+                    axis=0,
+                )
+
+            def denoise(lat, t):
+                x2 = jnp.concatenate([lat, lat], axis=0).astype(self.compute_dtype)
+                eps2 = unet_apply(params["unet"], x2, t, ctx2, cfg.unet, ctx_valid=valid2)
+                eps2 = eps2.astype(jnp.float32)
+                e_un, e_c = eps2[:b], eps2[b:]
+                return e_un + (e_c - e_un) * guidance_scale
+
+        def body(lat, step):
+            t, at, ap = step
+            eps = denoise(lat, t)
+            return ddim_step(lat, eps, at, ap), None
+
+        latent, _ = jax.lax.scan(body, latent.astype(jnp.float32), (ts, a_t, a_prev))
+        return latent
+
+    def sample_latent(
+        self,
+        context,
+        unconditional_context,
+        unconditional_guidance_scale: float,
+        n_steps: int,
+        key: Optional[jax.Array] = None,
+        initial_latent=None,
+        ctx_valid=None,
+        uncond_valid=None,
+    ):
+        """mod.rs:102-160, fully on-device. context: [B, S, D]."""
+        b = context.shape[0]
+        hw = self.config.latent_size
+        if initial_latent is None:
+            if key is None:
+                key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2 ** 63))
+            initial_latent = jax.random.normal(key, (b, hw, hw, 4), jnp.float32)
+        return self._sample_latent_jit(
+            self.params,
+            initial_latent,
+            context,
+            ctx_valid,
+            unconditional_context,
+            uncond_valid,
+            unconditional_guidance_scale,
+            n_steps,
+            not self.pad_context,
+        )
+
+    # ---------------------------------------------------------- decode
+
+    def _decode_to_u8(self, params, latent):
+        """mod.rs:69-99: decode(latent / 0.18215) -> (x+1)/2 -> *255 ->
+        clamp -> u8, all on-device (the reference clamps on the host after
+        a full-tensor readback)."""
+        z = (latent * (1.0 / self.config.latent_scale)).astype(self.compute_dtype)
+        img = decode_latent(params["autoencoder"], z, self.config.vae)
+        img = (img.astype(jnp.float32) + 1.0) / 2.0 * 255.0
+        return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
+
+    def latent_to_image(self, latent) -> np.ndarray:
+        """Returns [B, H, W, 3] uint8 (host)."""
+        return np.asarray(self._decode_jit(self.params, latent))
+
+    def encode_image(self, image):
+        """image: [B, H, W, 3] in [-1,1] -> latent [B, H/8, W/8, 4]
+        (autoencoder/mod.rs:60-66; NOT scaled by latent_scale, matching
+        the reference API)."""
+        return self._encode_jit(
+            self.params["autoencoder"], jnp.asarray(image, self.compute_dtype)
+        )
+
+    # ---------------------------------------------------------- top level
+
+    def sample_image(
+        self,
+        context,
+        unconditional_context,
+        unconditional_guidance_scale: float,
+        n_steps: int,
+        **kw,
+    ) -> np.ndarray:
+        latent = self.sample_latent(
+            context, unconditional_context, unconditional_guidance_scale, n_steps, **kw
+        )
+        return self.latent_to_image(latent)
+
+    def generate(
+        self,
+        tokenizer: SimpleTokenizer,
+        prompt: str,
+        guidance_scale: float = 7.5,
+        n_steps: int = 20,
+        n_images: int = 1,
+        key: Optional[jax.Array] = None,
+        initial_latent=None,
+    ) -> np.ndarray:
+        """Convenience wrapper: prompt string -> uint8 images."""
+        ctx, valid = self.context(tokenizer, prompt)
+        unctx, unvalid = self.unconditional_context(tokenizer)
+        if n_images > 1:
+            ctx = jnp.tile(ctx, (n_images, 1, 1))
+            valid = jnp.tile(valid, (n_images, 1))
+        return self.sample_image(
+            ctx,
+            unctx,
+            guidance_scale,
+            n_steps,
+            key=key,
+            initial_latent=initial_latent,
+            ctx_valid=valid if self.pad_context else None,
+            uncond_valid=unvalid if self.pad_context else None,
+        )

@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests on a tiny model (CPU-fast): scanned sampler
+vs a hand-rolled python DDIM loop transcribing the reference, batched-CFG
+fast path vs two-pass parity path, and PNG round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdtpu.config import (
+    AutoencoderConfig,
+    CLIPConfig,
+    StableDiffusionConfig,
+    UNetConfig,
+)
+from sdtpu.diffusion import scaled_linear_alphas_cumprod
+from sdtpu.models.clip import init_clip
+from sdtpu.models.unet import init_unet, unet_apply
+from sdtpu.models.vae import init_autoencoder
+from sdtpu.pipeline import StableDiffusion
+from sdtpu.tokenizer import SimpleTokenizer
+from sdtpu.utils.image import decode_png_rgb8, encode_png_rgb8, save_images
+
+TINY = StableDiffusionConfig(
+    name="tiny",
+    clip=CLIPConfig(n_vocab=49408, n_state=32, n_head=4, n_ctx=77, n_layer=2),
+    unet=UNetConfig(
+        model_channels=16,
+        channel_mult=(1, 2),
+        attention_levels=(0,),
+        n_head=4,
+        context_dim=32,
+        time_embed_dim=64,
+        groupnorm_groups=4,
+    ),
+    vae=AutoencoderConfig(
+        encoder_channels=((8, 8), (8, 16)),
+        decoder_channels=((16, 16), (16, 8)),
+        groupnorm_groups=4,
+    ),
+    image_size=32,
+)
+
+
+def tiny_params(seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return {
+        "clip": init_clip(k1, TINY.clip),
+        "unet": init_unet(k2, TINY.unet),
+        "autoencoder": init_autoencoder(k3, TINY.vae),
+        "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
+        "n_steps": 1000,
+    }
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return StableDiffusion(tiny_params(), TINY)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return SimpleTokenizer()
+
+
+def test_generate_shapes_and_determinism(sd, tok):
+    key = jax.random.PRNGKey(7)
+    img1 = sd.generate(tok, "a tiny stone", guidance_scale=7.5, n_steps=4, key=key)
+    img2 = sd.generate(tok, "a tiny stone", guidance_scale=7.5, n_steps=4, key=key)
+    assert img1.shape == (1, 32, 32, 3) and img1.dtype == np.uint8
+    np.testing.assert_array_equal(img1, img2)
+
+
+def test_scan_matches_reference_host_loop(sd):
+    """The jitted scan must reproduce a direct python transcription of the
+    reference sampler loop (mod.rs:102-160) with the same fixed latent."""
+    cfg = TINY
+    rng = np.random.default_rng(0)
+    latent0 = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 5, 32)), jnp.float32)
+    unctx = jnp.asarray(rng.standard_normal((1, 2, 32)), jnp.float32)
+    scale, n_steps = 7.5, 5
+
+    sd_parity = StableDiffusion(sd.params, cfg, pad_context=False)
+    got = sd_parity.sample_latent(ctx, unctx, scale, n_steps, initial_latent=latent0)
+
+    # -- host loop oracle
+    alphas = np.asarray(sd.params["alphas_cumprod"], np.float64)
+    step = 1000 // n_steps
+    latent = np.asarray(latent0, np.float64)
+    for t in range(999, -1, -step):
+        a_t = alphas[t]
+        a_prev = alphas[t - step] if t >= step else 1.0
+        x = jnp.asarray(latent, jnp.float32)
+        e_un = np.asarray(unet_apply(sd.params["unet"], x, jnp.int32(t),
+                                     jnp.broadcast_to(unctx, (1,) + unctx.shape[1:]), cfg.unet))
+        e_c = np.asarray(unet_apply(sd.params["unet"], x, jnp.int32(t), ctx, cfg.unet))
+        eps = e_un + (e_c - e_un) * scale
+        predx0 = (latent - eps * np.sqrt(1 - a_t)) / np.sqrt(a_t)
+        latent = predx0 * np.sqrt(a_prev) + eps * np.sqrt(1 - a_prev)
+
+    np.testing.assert_allclose(np.asarray(got), latent, atol=2e-3)
+
+
+def test_fast_path_matches_parity_path(sd, tok):
+    """Batched-CFG + padded context must produce the same pixels as the
+    reference-shaped two-pass variable-length path."""
+    latent0 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 4))
+    prompt = "an ancient mossy stone"
+
+    fast = StableDiffusion(sd.params, TINY, pad_context=True)
+    ctx, valid = fast.context(tok, prompt)
+    unctx, unvalid = fast.unconditional_context(tok)
+    img_fast = fast.sample_image(ctx, unctx, 7.5, 4, initial_latent=latent0,
+                                 ctx_valid=valid, uncond_valid=unvalid)
+
+    parity = StableDiffusion(sd.params, TINY, pad_context=False)
+    ctx_p, _ = parity.context(tok, prompt)
+    unctx_p, _ = parity.unconditional_context(tok)
+    img_par = parity.sample_image(ctx_p, unctx_p, 7.5, 4, initial_latent=latent0)
+
+    # uint8 pixels: allow off-by-one from fp reassociation
+    diff = np.abs(img_fast.astype(int) - img_par.astype(int))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_encode_decode_roundtrip(sd):
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3), minval=-1, maxval=1)
+    z = sd.encode_image(img)
+    # tiny VAE has 2 levels -> f=2
+    assert z.shape == (1, 16, 16, 4)
+
+
+def test_png_roundtrip(tmp_path):
+    img = (np.random.default_rng(0).integers(0, 256, (16, 24, 3))).astype(np.uint8)
+    data = encode_png_rgb8(img)
+    np.testing.assert_array_equal(decode_png_rgb8(data), img)
+
+    paths = save_images(img[None], str(tmp_path / "out"))
+    assert paths == [str(tmp_path / "out0.png")]
+    with open(paths[0], "rb") as f:
+        np.testing.assert_array_equal(decode_png_rgb8(f.read()), img)
