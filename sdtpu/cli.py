@@ -1,0 +1,171 @@
+"""CLI entry points, argv-compatible with the reference binaries.
+
+sample  (reference: src/bin/sample/main.rs:36-114):
+    sample <model_type(burn|dump|native|ckpt)> <model_name>
+           <unconditional_guidance_scale> <n_diffusion_steps>
+           <prompt> <output_image_name> [device(cpu|tpu|cuda|mps)]
+
+convert (reference: src/bin/convert/main.rs:36-58):
+    convert <dump_path> <model_name>           # npy tree -> native
+    convert --ckpt <sd.ckpt> <model_name>      # torch ckpt -> native
+    convert --to-dump <native> <dump_path>     # native -> npy tree
+
+Extra (sdtpu-only) flags for `sample`: --seed N for reproducible latents
+(the reference is unseeded, mod.rs:115-121), --preset sd-v1-4|sd-v1-5|
+sd-v2-1, --bf16, --batch N.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _fail(msg: str) -> None:
+    print(msg, file=sys.stderr)
+    sys.exit(1)
+
+
+def _select_device(device_arg):
+    """Map the reference's device names onto JAX platforms. cuda/mps have
+    no meaning on a TPU host; they select the default accelerator, cpu
+    forces the CPU backend (must happen before backend init)."""
+    import jax
+
+    if device_arg and device_arg.lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
+def load_model(model_type: str, model_name: str, preset: str = "sd-v1-4",
+               compute_dtype=None, pad_context: bool = True):
+    import jax.numpy as jnp
+
+    from sdtpu.config import PRESETS
+    from sdtpu.pipeline import StableDiffusion
+
+    cfg = PRESETS[preset]
+    if model_type == "dump":
+        from sdtpu.io.npy_tree import load_stable_diffusion_dump
+
+        params = load_stable_diffusion_dump(model_name, cfg)
+    elif model_type == "burn":
+        from sdtpu.io.mpk import load_mpk
+
+        params = load_mpk(model_name)
+    elif model_type in ("native", "safetensors"):
+        from sdtpu.io.native import load_native
+
+        params, cfg = load_native(model_name)
+    elif model_type == "ckpt":
+        from sdtpu.io.ckpt import load_torch_ckpt
+
+        params = load_torch_ckpt(model_name, cfg)
+    else:
+        _fail(f"Unknown model type: {model_type} (burn|dump|native|ckpt)")
+    dtype = compute_dtype or jnp.float32
+    return StableDiffusion(params, cfg, compute_dtype=dtype, pad_context=pad_context)
+
+
+def sample_main(argv=None) -> None:
+    argv = list(sys.argv if argv is None else argv)
+
+    # sdtpu extras are flags so the positional surface stays identical
+    seed = None
+    preset = "sd-v1-4"
+    bf16 = False
+    batch = 1
+    i = 1
+    positional = [argv[0]]
+    while i < len(argv):
+        a = argv[i]
+        if a == "--seed":
+            seed = int(argv[i + 1]); i += 2
+        elif a == "--preset":
+            preset = argv[i + 1]; i += 2
+        elif a == "--bf16":
+            bf16 = True; i += 1
+        elif a == "--batch":
+            batch = int(argv[i + 1]); i += 2
+        else:
+            positional.append(a); i += 1
+    argv = positional
+
+    if len(argv) not in (7, 8):
+        _fail(
+            f"Usage: {argv[0]} <model_type(burn or dump)> <model_name> "
+            "<unconditional_guidance_scale> <n_diffusion_steps> <prompt> "
+            "<output_image_name> [device(cuda, mps, cpu)]"
+        )
+
+    model_type, model_name = argv[1], argv[2]
+    try:
+        guidance_scale = float(argv[3])
+    except ValueError:
+        _fail("Error: Invalid unconditional guidance scale.")
+    try:
+        n_steps = int(argv[4])
+    except ValueError:
+        _fail("Error: Invalid number of diffusion steps.")
+    prompt, output_name = argv[5], argv[6]
+    _select_device(argv[7] if len(argv) == 8 else None)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdtpu.tokenizer import SimpleTokenizer
+    from sdtpu.utils.image import save_images
+
+    print("Loading tokenizer...")
+    tokenizer = SimpleTokenizer()
+    print("Loading model...")
+    sd = load_model(model_type, model_name, preset,
+                    compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+
+    print("Sampling image...")
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(seed) if seed is not None else None
+    images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
+                         n_images=batch, key=key)
+    dt = time.perf_counter() - t0
+    paths = save_images(images, output_name)
+    print(f"Saved {paths} ({dt:.2f}s sampling, "
+          f"{images.shape[0] / dt:.3f} images/sec)")
+
+
+def convert_main(argv=None) -> None:
+    argv = list(sys.argv if argv is None else argv)
+    from sdtpu.config import PRESETS
+    from sdtpu.io.native import load_native, save_native
+
+    preset = "sd-v1-4"
+    if "--preset" in argv:
+        i = argv.index("--preset")
+        preset = argv[i + 1]
+        del argv[i : i + 2]
+    cfg = PRESETS[preset]
+
+    if len(argv) == 4 and argv[1] == "--ckpt":
+        from sdtpu.io.ckpt import load_torch_ckpt
+
+        params = load_torch_ckpt(argv[2], cfg)
+        save_native(params, f"{argv[3]}.safetensors", cfg)
+        print(f"Model saved to {argv[3]}.safetensors")
+        return
+    if len(argv) == 4 and argv[1] == "--to-dump":
+        from sdtpu.io.npy_tree import save_stable_diffusion_dump
+
+        params, cfg = load_native(argv[2])
+        save_stable_diffusion_dump(params, argv[3], cfg)
+        print(f"Dump tree written to {argv[3]}")
+        return
+    if len(argv) != 3:
+        _fail(f"Usage: {argv[0]} <dump_path> <model_name>")
+
+    from sdtpu.io.npy_tree import load_stable_diffusion_dump
+
+    dump_path, model_name = argv[1], argv[2]
+    params = load_stable_diffusion_dump(dump_path, cfg)
+    save_native(params, f"{model_name}.safetensors", cfg)
+    print(f"Model saved to {model_name}.safetensors")

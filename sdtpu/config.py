@@ -140,8 +140,31 @@ SD_V2_1 = StableDiffusionConfig(
     prediction_type="v",
 )
 
+# Scaled-down architecture for CI / smoke tests (not a real model family;
+# same topology as SD v1 with 2 levels instead of 4).
+SD_TINY = StableDiffusionConfig(
+    name="sd-tiny",
+    clip=CLIPConfig(n_vocab=49408, n_state=32, n_head=4, n_ctx=77, n_layer=2),
+    unet=UNetConfig(
+        model_channels=16,
+        channel_mult=(1, 2),
+        attention_levels=(0,),
+        n_head=4,
+        context_dim=32,
+        time_embed_dim=64,
+        groupnorm_groups=4,
+    ),
+    vae=AutoencoderConfig(
+        encoder_channels=((8, 8), (8, 16)),
+        decoder_channels=((16, 16), (16, 8)),
+        groupnorm_groups=4,
+    ),
+    image_size=32,
+)
+
 PRESETS = {
     "sd-v1-4": SD_V1_4,
     "sd-v1-5": SD_V1_5,
     "sd-v2-1": SD_V2_1,
+    "sd-tiny": SD_TINY,
 }

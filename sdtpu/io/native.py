@@ -1,0 +1,90 @@
+"""sdtpu's native checkpoint format: a single safetensors file with
+'/'-flattened pytree keys plus a JSON metadata header (config name,
+framework version). This replaces the reference's two-format scheme
+(~1000-file npy tree + Burn NamedMpk record, README.md:14) with one
+mmap-able zero-copy file.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+import numpy as np
+from safetensors.numpy import load_file, save_file
+
+import sdtpu
+from sdtpu.config import PRESETS, SD_V1_4, StableDiffusionConfig
+
+
+def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_native(params, path: str, config: StableDiffusionConfig = SD_V1_4) -> None:
+    flat = {}
+    scalars = {}
+    for k, v in flatten_tree(params).items():
+        # ascontiguousarray is load-bearing: safetensors serialises the raw
+        # buffer, so a transposed (strided) view would scramble values
+        a = np.ascontiguousarray(v)
+        if a.ndim == 0:  # safetensors stores tensors; keep scalars in metadata
+            scalars[k] = float(a)
+        else:
+            flat[k] = a
+    meta = {
+        "format": "sdtpu-native-v1",
+        "sdtpu_version": sdtpu.__version__,
+        "config": config.name,
+        "scalars": json.dumps(scalars),
+    }
+    save_file(flat, path, metadata=meta)
+
+
+def load_native(path: str):
+    """Returns (params, config)."""
+    from safetensors import safe_open
+
+    flat = load_file(path)
+    with safe_open(path, framework="numpy") as f:
+        meta = f.metadata() or {}
+    params = unflatten_tree(flat)
+    for k, v in json.loads(meta.get("scalars", "{}")).items():
+        parts = k.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    if "n_steps" in params:
+        params["n_steps"] = int(params["n_steps"])
+    config = PRESETS.get(meta.get("config", ""), SD_V1_4)
+    return params, config

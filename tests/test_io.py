@@ -1,0 +1,282 @@
+"""IO round-trip tests: npy dump tree (reference format), native
+safetensors, LDM torch-checkpoint key mapping, Burn NamedMpk decoding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdtpu.config import (
+    AutoencoderConfig,
+    CLIPConfig,
+    StableDiffusionConfig,
+    UNetConfig,
+)
+from sdtpu.diffusion import scaled_linear_alphas_cumprod
+from sdtpu.io.ckpt import convert_state_dict
+from sdtpu.io.mpk import _transform
+from sdtpu.io.native import flatten_tree, load_native, save_native, unflatten_tree
+from sdtpu.io.npy_tree import load_stable_diffusion_dump, save_stable_diffusion_dump
+from sdtpu.models.clip import init_clip
+from sdtpu.models.unet import build_input_specs, build_output_specs, init_unet
+from sdtpu.models.vae import init_autoencoder
+
+TINY = StableDiffusionConfig(
+    name="tiny-io",
+    clip=CLIPConfig(n_vocab=64, n_state=16, n_head=2, n_ctx=8, n_layer=2),
+    unet=UNetConfig(
+        model_channels=8,
+        channel_mult=(1, 2),
+        attention_levels=(0,),
+        n_head=2,
+        context_dim=16,
+        time_embed_dim=32,
+        groupnorm_groups=4,
+    ),
+    vae=AutoencoderConfig(
+        encoder_channels=((8, 8), (8, 16)),
+        decoder_channels=((16, 16), (16, 8)),
+        groupnorm_groups=4,
+    ),
+    image_size=16,
+)
+
+
+def tiny_params(seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return {
+        "clip": init_clip(k1, TINY.clip),
+        "unet": init_unet(k2, TINY.unet),
+        "autoencoder": init_autoencoder(k3, TINY.vae),
+        "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
+        "n_steps": 1000,
+    }
+
+
+def assert_trees_equal(a, b, path="", atol=0.0):
+    fa, fb = flatten_tree(a), flatten_tree(b)
+    assert set(fa) == set(fb), (set(fa) ^ set(fb))
+    for k in fa:
+        va, vb = np.asarray(fa[k]), np.asarray(fb[k])
+        assert va.shape == vb.shape, (k, va.shape, vb.shape)
+        np.testing.assert_allclose(va, vb, atol=atol, err_msg=k)
+
+
+def test_dump_tree_roundtrip(tmp_path):
+    params = tiny_params()
+    save_stable_diffusion_dump(params, str(tmp_path / "params"), TINY)
+    loaded = load_stable_diffusion_dump(str(tmp_path / "params"), TINY)
+    assert_trees_equal(params, loaded)
+
+
+def test_native_roundtrip(tmp_path):
+    params = tiny_params()
+    path = str(tmp_path / "model.safetensors")
+    save_native(params, path, TINY)
+    loaded, _cfg = load_native(path)
+    assert loaded["n_steps"] == 1000
+    assert_trees_equal(params, loaded)
+
+
+def test_flatten_unflatten():
+    tree = {"a": {"b": np.zeros(3), "c": [np.ones(2), np.ones(1)]}}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a/b", "a/c/0", "a/c/1"}
+    back = unflatten_tree(flat)
+    assert isinstance(back["a"]["c"], list) and len(back["a"]["c"]) == 2
+
+
+# --------------------------------------------------------------- LDM ckpt
+
+def _ldm_state_dict(params, cfg):
+    """Inverse-map sdtpu tiny params into an LDM-style state_dict, to
+    verify the ckpt converter's key mapping and layout transposes."""
+    sd = {}
+
+    def lin(key, p):
+        sd[f"{key}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            sd[f"{key}.bias"] = np.asarray(p["b"])
+
+    def conv(key, p):
+        sd[f"{key}.weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+        if "b" in p:
+            sd[f"{key}.bias"] = np.asarray(p["b"])
+
+    def norm(key, p):
+        sd[f"{key}.weight"] = np.asarray(p["g"])
+        sd[f"{key}.bias"] = np.asarray(p["b"])
+
+    # clip
+    base = "cond_stage_model.transformer.text_model"
+    sd[f"{base}.embeddings.token_embedding.weight"] = np.asarray(
+        params["clip"]["token_embedding"]["w"])
+    sd[f"{base}.embeddings.position_embedding.weight"] = np.asarray(
+        params["clip"]["position_embedding"])
+    for i, bp in enumerate(params["clip"]["blocks"]):
+        lb = f"{base}.encoder.layers.{i}"
+        lin(f"{lb}.self_attn.q_proj", bp["attn"]["query"])
+        lin(f"{lb}.self_attn.k_proj", bp["attn"]["key"])
+        lin(f"{lb}.self_attn.v_proj", bp["attn"]["value"])
+        lin(f"{lb}.self_attn.out_proj", bp["attn"]["out"])
+        norm(f"{lb}.layer_norm1", bp["attn_ln"])
+        lin(f"{lb}.mlp.fc1", bp["mlp"]["fc1"])
+        lin(f"{lb}.mlp.fc2", bp["mlp"]["fc2"])
+        norm(f"{lb}.layer_norm2", bp["mlp_ln"])
+    norm(f"{base}.final_layer_norm", params["clip"]["layer_norm"])
+
+    # unet
+    ub = "model.diffusion_model"
+    unet = params["unet"]
+    lin(f"{ub}.time_embed.0", unet["lin1_time_embed"])
+    lin(f"{ub}.time_embed.2", unet["lin2_time_embed"])
+
+    def res(key, p):
+        norm(f"{key}.in_layers.0", p["norm_in"])
+        conv(f"{key}.in_layers.2", p["conv_in"])
+        lin(f"{key}.emb_layers.1", p["lin_embed"])
+        norm(f"{key}.out_layers.0", p["norm_out"])
+        conv(f"{key}.out_layers.3", p["conv_out"])
+        if "skip_connection" in p:
+            conv(f"{key}.skip_connection", p["skip_connection"])
+
+    def st(key, p):
+        norm(f"{key}.norm", p["norm"])
+        conv(f"{key}.proj_in", p["proj_in"])
+        t = p["transformer"]
+        tb = f"{key}.transformer_blocks.0"
+        for n, attn in (("attn1", t["attn1"]), ("attn2", t["attn2"])):
+            lin(f"{tb}.{n}.to_q", attn["query"])
+            lin(f"{tb}.{n}.to_k", attn["key"])
+            lin(f"{tb}.{n}.to_v", attn["value"])
+            lin(f"{tb}.{n}.to_out.0", attn["out"])
+        for n in ("norm1", "norm2", "norm3"):
+            norm(f"{tb}.{n}", t[n])
+        lin(f"{tb}.ff.net.0.proj", t["mlp"]["geglu"]["proj"])
+        lin(f"{tb}.ff.net.2", t["mlp"]["lin"])
+        conv(f"{key}.proj_out", p["proj_out"])
+
+    for idx, spec in enumerate(build_input_specs(cfg.unet)):
+        p = unet["input_blocks"][spec.name]
+        kb = f"{ub}.input_blocks.{idx}"
+        if spec.kind == "conv":
+            conv(f"{kb}.0", p)
+        elif spec.kind == "down":
+            conv(f"{kb}.0.op", p)
+        else:
+            res(f"{kb}.0", p["res"] if spec.transformer else p)
+            if spec.transformer:
+                st(f"{kb}.1", p["transformer"])
+    res(f"{ub}.middle_block.0", unet["middle_block"]["res1"])
+    st(f"{ub}.middle_block.1", unet["middle_block"]["transformer"])
+    res(f"{ub}.middle_block.2", unet["middle_block"]["res2"])
+    out_specs, _ = build_output_specs(cfg.unet)
+    for idx, spec in enumerate(out_specs):
+        p = unet["output_blocks"][spec.name]
+        kb = f"{ub}.output_blocks.{idx}"
+        res(f"{kb}.0", p["res"] if (spec.transformer or spec.upsample) else p)
+        if spec.transformer:
+            st(f"{kb}.1", p["transformer"])
+        if spec.upsample:
+            conv(f"{kb}.{2 if spec.transformer else 1}.conv", p["upsample"]["conv"])
+    norm(f"{ub}.out.0", unet["norm_out"])
+    conv(f"{ub}.out.2", unet["conv_out"])
+
+    # vae
+    fb = "first_stage_model"
+    vae = params["autoencoder"]
+
+    def vres(key, p):
+        norm(f"{key}.norm1", p["norm1"])
+        conv(f"{key}.conv1", p["conv1"])
+        norm(f"{key}.norm2", p["norm2"])
+        conv(f"{key}.conv2", p["conv2"])
+        if "nin_shortcut" in p:
+            conv(f"{key}.nin_shortcut", p["nin_shortcut"])
+
+    def vmid(key, p):
+        vres(f"{key}.block_1", p["block_1"])
+        norm(f"{key}.attn_1.norm", p["attn"]["norm"])
+        for n in ("q", "k", "v", "proj_out"):
+            conv(f"{key}.attn_1.{n}", p["attn"][n])
+        vres(f"{key}.block_2", p["block_2"])
+
+    conv(f"{fb}.encoder.conv_in", vae["encoder"]["conv_in"])
+    for i, blk in enumerate(vae["encoder"]["blocks"]):
+        kb = f"{fb}.encoder.down.{i}"
+        vres(f"{kb}.block.0", blk["res1"])
+        vres(f"{kb}.block.1", blk["res2"])
+        if "downsampler" in blk:
+            conv(f"{kb}.downsample.conv", blk["downsampler"]["conv"])
+    vmid(f"{fb}.encoder.mid", vae["encoder"]["mid"])
+    norm(f"{fb}.encoder.norm_out", vae["encoder"]["norm_out"])
+    conv(f"{fb}.encoder.conv_out", vae["encoder"]["conv_out"])
+    n_dec = len(vae["decoder"]["blocks"])
+    conv(f"{fb}.decoder.conv_in", vae["decoder"]["conv_in"])
+    vmid(f"{fb}.decoder.mid", vae["decoder"]["mid"])
+    for j, blk in enumerate(vae["decoder"]["blocks"]):
+        kb = f"{fb}.decoder.up.{n_dec - 1 - j}"
+        vres(f"{kb}.block.0", blk["res1"])
+        vres(f"{kb}.block.1", blk["res2"])
+        vres(f"{kb}.block.2", blk["res3"])
+        if "upsampler" in blk:
+            conv(f"{kb}.upsample.conv", blk["upsampler"])
+    norm(f"{fb}.decoder.norm_out", vae["decoder"]["norm_out"])
+    conv(f"{fb}.decoder.conv_out", vae["decoder"]["conv_out"])
+    conv(f"{fb}.quant_conv", vae["quant_conv"])
+    conv(f"{fb}.post_quant_conv", vae["post_quant_conv"])
+
+    sd["alphas_cumprod"] = np.asarray(params["alphas_cumprod"])
+    return sd
+
+
+def test_ldm_ckpt_conversion_roundtrip():
+    params = tiny_params()
+    state_dict = _ldm_state_dict(params, TINY)
+    converted = convert_state_dict(state_dict, TINY)
+    assert_trees_equal(params, converted)
+
+
+# --------------------------------------------------------------- mpk
+
+def test_mpk_record_transform():
+    """Decode a synthetic Burn named-msgpack record containing every
+    record shape the reference serialises (Param wrap, linear, conv OIHW,
+    GroupNorm with hyperparams, Vec of blocks, stateless SILU)."""
+
+    def param(arr):
+        a = np.asarray(arr, np.float32)
+        return {"id": "xx", "param": {"shape": list(a.shape), "value": a.reshape(-1).tolist()}}
+
+    conv_w = np.arange(2 * 3 * 1 * 1, dtype=np.float32).reshape(2, 3, 1, 1)  # OIHW
+    record = {
+        "n_steps": 1000,
+        "alpha_cumulative_products": param(np.linspace(1, 0, 10)),
+        "diffusion": {
+            "lin1_time_embed": {"weight": param(np.ones((4, 8))), "bias": param(np.zeros(8))},
+            "silu_time_embed": None,
+            "norm_out": {"n_group": 2, "n_channel": 4, "eps": 1e-5,
+                         "gamma": param(np.ones(4)), "beta": param(np.zeros(4))},
+            "conv_out": {"weight": param(conv_w), "bias": param(np.zeros(2)),
+                         "stride": [1, 1], "kernel_size": [1, 1], "dilation": [1, 1],
+                         "groups": 1, "padding": None},
+        },
+        "clip": {
+            "blocks": [
+                {"attn": {"n_head": 2, "query": {"weight": param(np.ones((4, 4)))}}},
+            ],
+            "position_embedding": param(np.ones((8, 4))),
+        },
+    }
+    out = _transform(record)
+    assert out["n_steps"] == 1000
+    assert out["alphas_cumprod"].shape == (10,)
+    unet = out["unet"]
+    assert unet["lin1_time_embed"]["w"].shape == (4, 8)  # burn linear already [in,out]
+    assert "silu_time_embed" not in unet
+    assert set(unet["norm_out"]) == {"g", "b"}
+    assert unet["conv_out"]["w"].shape == (1, 1, 3, 2)  # OIHW -> HWIO
+    np.testing.assert_array_equal(
+        unet["conv_out"]["w"][0, 0], conv_w[:, :, 0, 0].T)
+    assert out["clip"]["blocks"][0]["attn"]["query"]["w"].shape == (4, 4)
+    assert out["clip"]["position_embedding"].shape == (8, 4)
