@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.json metric: images/sec/chip at 512x512
+20-step DDIM + per-UNet-step latency).
+
+Runs the full SD v1.4 pipeline (random-initialised weights — identical
+FLOPs/memory traffic to real weights) in bf16 with batched CFG on the
+available accelerator, and prints ONE JSON line:
+
+    {"metric": ..., "value": <images/sec/chip>, "unit": ...,
+     "vs_baseline": ..., ...extras}
+
+The reference publishes no numbers (SURVEY.md §6), so vs_baseline is
+reported against the first recorded sdtpu result when available
+(BENCH_r1.json), else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import sdtpu.ops.dispatch as dispatch  # noqa: F401  (kernel selection)
+    from sdtpu.config import SD_V1_4
+    from sdtpu.diffusion import scaled_linear_alphas_cumprod
+    from sdtpu.models.clip import init_clip
+    from sdtpu.models.unet import init_unet
+    from sdtpu.models.vae import init_autoencoder
+    from sdtpu.pipeline import StableDiffusion
+    from sdtpu.tokenizer import SimpleTokenizer
+
+    batch = int(os.environ.get("SDTPU_BENCH_BATCH", "4"))
+    n_steps = int(os.environ.get("SDTPU_BENCH_STEPS", "20"))
+    iters = int(os.environ.get("SDTPU_BENCH_ITERS", "3"))
+
+    cfg = SD_V1_4
+    dtype = jnp.bfloat16
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    t0 = time.perf_counter()
+    params = {
+        "clip": init_clip(k1, cfg.clip, dtype=dtype),
+        "unet": init_unet(k2, cfg.unet, dtype=dtype),
+        "autoencoder": init_autoencoder(k3, cfg.vae, dtype=dtype),
+        "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
+        "n_steps": 1000,
+    }
+    jax.block_until_ready(params["unet"])
+    init_s = time.perf_counter() - t0
+
+    sd = StableDiffusion(params, cfg, compute_dtype=dtype)
+    tok = SimpleTokenizer()
+    ctx, valid = sd.context(tok, "An ancient mossy stone.")
+    unctx, unvalid = sd.unconditional_context(tok)
+    ctx = jnp.tile(ctx, (batch, 1, 1))
+    valid = jnp.tile(valid, (batch, 1))
+    latent0 = jax.random.normal(jax.random.PRNGKey(7),
+                                (batch, cfg.latent_size, cfg.latent_size, 4), jnp.float32)
+
+    def run_latent():
+        lat = sd.sample_latent(ctx, unctx, 7.5, n_steps, initial_latent=latent0,
+                               ctx_valid=valid, uncond_valid=unvalid)
+        return jax.block_until_ready(lat)
+
+    # compile
+    t0 = time.perf_counter()
+    lat = run_latent()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    img = sd.latent_to_image(lat)
+    decode_compile_s = time.perf_counter() - t0
+
+    # timed: denoise loop
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lat = run_latent()
+    denoise_s = (time.perf_counter() - t0) / iters
+
+    # timed: decode
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = sd.latent_to_image(lat)
+    decode_s = (time.perf_counter() - t0) / iters
+
+    total_s = denoise_s + decode_s
+    images_per_sec = batch / total_s
+    unet_step_ms = denoise_s / n_steps * 1000.0
+
+    vs_baseline = 1.0
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_r1.json")) as f:
+            prev = json.load(f)
+        if prev.get("value"):
+            vs_baseline = images_per_sec / float(prev["value"])
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "images/sec/chip, SDv1-4 512x512 bf16 batched-CFG DDIM "
+                  f"{n_steps} steps batch {batch}",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "unet_step_ms": round(unet_step_ms, 2),
+        "decode_ms": round(decode_s * 1000.0, 2),
+        "compile_s": round(compile_s + decode_compile_s, 2),
+        "init_s": round(init_s, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

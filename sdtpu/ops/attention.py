@@ -44,9 +44,22 @@ def qkv_attention(
     exactly (masked keys get zero weight).
 
     Returns [B, Sq, D]. Softmax statistics are computed in f32.
+
+    Dispatch: mask-free attention at useful sizes routes to the Pallas
+    flash kernel on TPU (sdtpu/ops/flash_attention.py); masked/small
+    cases (CLIP causal seq<=77, cross-attention over 77 keys) stay on
+    the XLA path below.
     """
     b, sq, d = q.shape
     sk = k.shape[1]
+
+    if mask is None and key_valid is None and sq >= 128 and sk >= 128:
+        from sdtpu.ops.dispatch import use_pallas
+
+        if use_pallas() and sq % min(256, sq) == 0 and sk % min(256, sk) == 0:
+            from sdtpu.ops.flash_attention import flash_qkv_attention
+
+            return flash_qkv_attention(q, k, v, n_head)
     d_head = d // n_head
     scale = (d / n_head) ** -0.25
 

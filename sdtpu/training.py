@@ -1,0 +1,80 @@
+"""Diffusion training (DDPM epsilon / v-prediction objective).
+
+The reference is inference-only — it depends on burn-autodiff but never
+imports it (reference: Cargo.toml:20, SURVEY.md §0). sdtpu gets training
+for free from JAX autodiff: q-sample the latent, predict the noise,
+MSE; optimizer via optax; multi-chip via mesh shardings (dp batch +
+optional tp weight sharding), with XLA emitting the gradient psums.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdtpu.config import StableDiffusionConfig
+from sdtpu.models.unet import unet_apply
+
+
+def q_sample(x0, noise, alphas_cumprod, t):
+    """Forward diffusion: x_t = sqrt(a_t) x0 + sqrt(1-a_t) eps."""
+    a_t = jnp.asarray(alphas_cumprod)[t].reshape(-1, 1, 1, 1)
+    return jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * noise
+
+
+def diffusion_loss(unet_params, cfg: StableDiffusionConfig, latents, context, t, noise,
+                   ctx_valid=None, compute_dtype=jnp.float32):
+    """MSE between the UNet prediction and the target (epsilon, or v for
+    v-prediction models). latents: [B,h,w,4], t: [B] int32."""
+    x_t = q_sample(latents, noise, cfg_alphas(cfg), t)
+    pred = unet_apply(unet_params, x_t.astype(compute_dtype), t,
+                      context.astype(compute_dtype), cfg.unet, ctx_valid=ctx_valid)
+    pred = pred.astype(jnp.float32)
+    if cfg.prediction_type == "v":
+        a_t = jnp.asarray(cfg_alphas(cfg))[t].reshape(-1, 1, 1, 1)
+        target = jnp.sqrt(a_t) * noise - jnp.sqrt(1.0 - a_t) * latents
+    else:
+        target = noise
+    return jnp.mean((pred - target) ** 2)
+
+
+@functools.lru_cache(maxsize=8)
+def _alphas_for(n_train_steps: int):
+    # numpy on purpose: this is called inside jitted train steps, and a
+    # cached jnp computation would capture (and leak) a tracer under
+    # omnistaging; a np.ndarray is always a safe trace constant.
+    import numpy as np
+
+    betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, n_train_steps, dtype=np.float64) ** 2
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+def cfg_alphas(cfg: StableDiffusionConfig):
+    return _alphas_for(cfg.n_train_steps)
+
+
+def make_train_step(cfg: StableDiffusionConfig, optimizer: optax.GradientTransformation,
+                    compute_dtype=jnp.float32):
+    """Returns train_step(unet_params, opt_state, batch, key) ->
+    (params, opt_state, loss). batch = (latents, context)."""
+
+    def loss_fn(p, latents, context, t, noise):
+        return diffusion_loss(p, cfg, latents, context, t, noise,
+                              compute_dtype=compute_dtype)
+
+    def train_step(params, opt_state, batch, key):
+        latents, context = batch
+        kt, kn = jax.random.split(key)
+        b = latents.shape[0]
+        t = jax.random.randint(kt, (b,), 0, cfg.n_train_steps)
+        noise = jax.random.normal(kn, latents.shape, jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(params, latents, context, t, noise)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step

@@ -1,0 +1,50 @@
+"""Flash-attention kernel vs the XLA reference path (interpret mode on
+CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdtpu.ops.attention import qkv_attention
+from sdtpu.ops.flash_attention import flash_qkv_attention
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize(
+    "b,s,n_state,n_head",
+    [
+        (2, 256, 320, 8),   # UNet 16x16 level (d_head 40)
+        (1, 512, 512, 1),   # VAE-style single head
+        (2, 64, 1280, 8),   # UNet 8x8 level (d_head 160)
+    ],
+)
+def test_flash_matches_reference(b, s, n_state, n_head):
+    q = jnp.asarray(RNG.standard_normal((b, s, n_state)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, s, n_state)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, s, n_state)), jnp.float32)
+
+    want = qkv_attention(q, k, v, None, n_head)
+    got = flash_qkv_attention(q, k, v, n_head, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_cross_shapes():
+    # q len != kv len (self-attn only needs square, but keep it general)
+    q = jnp.asarray(RNG.standard_normal((1, 256, 320)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((1, 128, 320)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((1, 128, 320)), jnp.float32)
+    want = qkv_attention(q, k, v, None, 8)
+    got = flash_qkv_attention(q, k, v, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_bf16():
+    q = jnp.asarray(RNG.standard_normal((1, 256, 320)), jnp.bfloat16)
+    want = qkv_attention(q, q, q, None, 8)
+    got = flash_qkv_attention(q, q, q, 8, interpret=True)
+    # 1-2 bf16 ulps at |x|~4 (0.03125 each): the two paths round the
+    # softmax weights at different points
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=7e-2)
