@@ -32,8 +32,34 @@ from sdtpu.models.unet import build_input_specs, build_output_specs
 
 # ----------------------------------------------------------- primitives
 
+# Populated by a native bulk read of the whole tree (the reference reads
+# the ~1000 files one at a time with a println! each, load.rs:30-47).
+_PRELOAD: Dict[str, bytes] = {}
+
+
+def _preload_tree(root: str) -> None:
+    try:
+        from sdtpu import runtime
+    except Exception:
+        return
+    if not runtime.available():
+        return
+    paths = []
+    for dirpath, _dirs, files in os.walk(root):
+        paths.extend(os.path.join(dirpath, f) for f in files if f.endswith(".npy"))
+    bufs = runtime.read_files_bulk(paths)
+    if bufs is not None:
+        _PRELOAD.update(zip(paths, bufs))
+
+
 def _read(path: str, rank: int) -> np.ndarray:
-    v = np.load(path)
+    buf = _PRELOAD.get(path)
+    if buf is not None:
+        import io as _io
+
+        v = np.load(_io.BytesIO(buf))
+    else:
+        v = np.load(path)
     dims = v[:rank].astype(np.int64)
     return v[rank:].reshape(tuple(dims)).astype(np.float32)
 
@@ -48,7 +74,14 @@ def try_load_tensor(dirpath: str, name: str, rank: int) -> Optional[np.ndarray]:
 
 
 def load_scalar(dirpath: str, name: str) -> float:
-    v = np.load(os.path.join(dirpath, f"{name}.npy"))
+    path = os.path.join(dirpath, f"{name}.npy")
+    buf = _PRELOAD.get(path)
+    if buf is not None:
+        import io as _io
+
+        v = np.load(_io.BytesIO(buf))
+    else:
+        v = np.load(path)
     return float(v[1])
 
 
@@ -279,14 +312,21 @@ def _load_autoencoder(path: str) -> dict:
 # ----------------------------------------------------------- top level
 
 def load_stable_diffusion_dump(path: str, cfg: StableDiffusionConfig = SD_V1_4) -> dict:
-    """Load the full dump tree (reference: stablediffusion/load.rs:16-33)."""
-    return {
-        "n_steps": int(load_scalar(path, "n_steps")),
-        "alphas_cumprod": load_tensor(path, "alphas_cumprod", 1),
-        "autoencoder": _load_autoencoder(os.path.join(path, "autoencoder")),
-        "unet": _load_unet(os.path.join(path, "unet"), cfg),
-        "clip": _load_clip(os.path.join(path, "clip")),
-    }
+    """Load the full dump tree (reference: stablediffusion/load.rs:16-33).
+
+    With the native runtime built, all ~1000 files are read concurrently
+    up front; otherwise each is np.load'ed on demand."""
+    _preload_tree(path)
+    try:
+        return {
+            "n_steps": int(load_scalar(path, "n_steps")),
+            "alphas_cumprod": load_tensor(path, "alphas_cumprod", 1),
+            "autoencoder": _load_autoencoder(os.path.join(path, "autoencoder")),
+            "unet": _load_unet(os.path.join(path, "unet"), cfg),
+            "clip": _load_clip(os.path.join(path, "clip")),
+        }
+    finally:
+        _PRELOAD.clear()
 
 
 # =============================================================== writer

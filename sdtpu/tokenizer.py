@@ -88,11 +88,32 @@ def whitespace_clean(text: str) -> str:
 
 
 class SimpleTokenizer:
-    """CLIP BPE encoder/decoder (reference: src/tokenizer.rs:75-203)."""
+    """CLIP BPE encoder/decoder (reference: src/tokenizer.rs:75-203).
 
-    def __init__(self, vocab_path: str | None = None):
+    When the native C++ runtime is built (sdtpu/runtime), ASCII prompts
+    take the fast path through libsdtpu.so; this Python implementation is
+    the oracle and the fallback for non-ASCII input.
+    """
+
+    def __init__(self, vocab_path: str | None = None, use_native: bool = True):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self._native = None
+        if use_native:
+            try:
+                from sdtpu import runtime
+
+                if runtime.available():
+                    path = vocab_path or _default_vocab_path()
+                    if path.endswith(".gz"):
+                        with gzip.open(path, "rb") as f:
+                            raw = f.read()
+                    else:
+                        with open(path, "rb") as f:
+                            raw = f.read()
+                    self._native = runtime.NativeTokenizer(raw)
+            except Exception:
+                self._native = None
 
         lines = _read_merge_lines(vocab_path or _default_vocab_path())
         # rows [1, 49152-256-2+1) = [1, 48895) — tokenizer.rs:93
@@ -160,6 +181,10 @@ class SimpleTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
+        if self._native is not None:
+            ids = self._native.encode(text)
+            if ids is not None:
+                return ids
         text = whitespace_clean(text.strip()).lower()
         bpe_tokens: List[int] = []
         for token in _PAT.findall(text):

@@ -41,8 +41,18 @@ def encode_png_rgb8(img: np.ndarray) -> bytes:
 
 
 def save_png(img: np.ndarray, path: str) -> None:
+    img = np.ascontiguousarray(img)
+    data = None
+    try:
+        from sdtpu import runtime
+
+        data = runtime.png_encode_rgb8(img)  # None if lib not built
+    except Exception:
+        data = None
+    if data is None:
+        data = encode_png_rgb8(img)
     with open(path, "wb") as f:
-        f.write(encode_png_rgb8(np.ascontiguousarray(img)))
+        f.write(data)
 
 
 def save_images(images: np.ndarray | Sequence[np.ndarray], basepath: str) -> list:
