@@ -115,13 +115,16 @@ def sample_main(argv=None) -> None:
     import jax.numpy as jnp
 
     from sdtpu.tokenizer import SimpleTokenizer
+    from sdtpu.utils import profiling
     from sdtpu.utils.image import save_images
 
     print("Loading tokenizer...")
-    tokenizer = SimpleTokenizer()
+    with profiling.phase("load_tokenizer"):
+        tokenizer = SimpleTokenizer()
     print("Loading model...")
-    sd = load_model(model_type, model_name, preset,
-                    compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    with profiling.phase("load_model"):
+        sd = load_model(model_type, model_name, preset,
+                        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
 
     print("Sampling image...")
     t0 = time.perf_counter()
@@ -129,9 +132,15 @@ def sample_main(argv=None) -> None:
     images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
                          n_images=batch, key=key)
     dt = time.perf_counter() - t0
-    paths = save_images(images, output_name)
+    with profiling.phase("save_png"):
+        paths = save_images(images, output_name)
     print(f"Saved {paths} ({dt:.2f}s sampling, "
           f"{images.shape[0] / dt:.3f} images/sec)")
+    if profiling.enabled():
+        print(profiling.REGISTRY.report({
+            "n_steps": n_steps, "batch": batch, "guidance_scale": guidance_scale,
+            "device": str(jax.devices()[0]),
+        }))
 
 
 def convert_main(argv=None) -> None:

@@ -53,10 +53,16 @@ def qkv_attention(
     b, sq, d = q.shape
     sk = k.shape[1]
 
-    if mask is None and key_valid is None and sq >= 128 and sk >= 128:
+    # Measured on TPU v5e (benchmarks/attn_micro.py, scan-in-jit method):
+    # flash[512x1024] beats XLA at s>=2048 with d_head<=160 (0.76x at
+    # s=4096/d=40, 0.68x at s=16384); XLA wins for the VAE's single-head
+    # d=512 (204 TF/s) and for short sequences. Dispatch accordingly.
+    d_head = d // n_head
+    if (mask is None and key_valid is None and sq >= 2048 and sk >= 2048
+            and d_head <= 160):
         from sdtpu.ops.dispatch import use_pallas
 
-        if use_pallas() and sq % min(256, sq) == 0 and sk % min(256, sk) == 0:
+        if use_pallas() and sq % min(512, sq) == 0 and sk % min(1024, sk) == 0:
             from sdtpu.ops.flash_attention import flash_qkv_attention
 
             return flash_qkv_attention(q, k, v, n_head)

@@ -79,7 +79,7 @@ def _pad_head_dim(x, d_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention_heads(q, k, v, block_q: int = 256, block_k: int = 256,
+def flash_attention_heads(q, k, v, block_q: int = 512, block_k: int = 1024,
                           interpret: bool = False):
     """q: [BH, Sq, D], k/v: [BH, Sk, D] (heads pre-flattened into batch).
 

@@ -84,7 +84,9 @@ class StableDiffusion:
 
     # ---------------------------------------------------------- sampler
 
-    @functools.partial(jax.jit, static_argnames=("self", "n_steps", "parity_two_pass"))
+    @functools.partial(
+        jax.jit, static_argnames=("self", "n_steps", "parity_two_pass", "sampler")
+    )
     def _sample_latent_jit(
         self,
         params,
@@ -96,6 +98,7 @@ class StableDiffusion:
         guidance_scale,
         n_steps: int,
         parity_two_pass: bool,
+        sampler: str = "ddim",
     ):
         cfg = self.config
         timesteps, step_size = ddim_schedule(self.n_train_steps, n_steps)
@@ -133,13 +136,35 @@ class StableDiffusion:
                 e_un, e_c = eps2[:b], eps2[b:]
                 return e_un + (e_c - e_un) * guidance_scale
 
-        def body(lat, step):
-            t, at, ap = step
-            eps = denoise(lat, t)
-            return ddim_step(lat, eps, at, ap), None
+        if sampler == "ddim":
+            def body(lat, step):
+                t, at, ap = step
+                eps = denoise(lat, t)
+                return ddim_step(lat, eps, at, ap), None
 
-        latent, _ = jax.lax.scan(body, latent.astype(jnp.float32), (ts, a_t, a_prev))
-        return latent
+            latent, _ = jax.lax.scan(body, latent.astype(jnp.float32), (ts, a_t, a_prev))
+            return latent
+
+        if sampler == "dpmpp":
+            from sdtpu.diffusion.dpm_solver import (
+                dpmpp_2m_step,
+                dpmpp_arrays,
+                dpmpp_init,
+            )
+
+            arrs = dpmpp_arrays(alphas, self.n_train_steps, n_steps)
+
+            def body(state, step):
+                t = step[0]
+                eps = denoise(state.x, t)
+                return dpmpp_2m_step(state, eps, step[1:]), None
+
+            xs = (arrs.timesteps, arrs.alpha_t, arrs.sigma_t, arrs.lam_t,
+                  arrs.alpha_n, arrs.sigma_n, arrs.lam_n)
+            state, _ = jax.lax.scan(body, dpmpp_init(latent.astype(jnp.float32)), xs)
+            return state.x
+
+        raise ValueError(f"unknown sampler {sampler!r} (ddim|dpmpp)")
 
     def sample_latent(
         self,
@@ -151,6 +176,7 @@ class StableDiffusion:
         initial_latent=None,
         ctx_valid=None,
         uncond_valid=None,
+        sampler: str = "ddim",
     ):
         """mod.rs:102-160, fully on-device. context: [B, S, D]."""
         b = context.shape[0]
@@ -169,6 +195,7 @@ class StableDiffusion:
             unconditional_guidance_scale,
             n_steps,
             not self.pad_context,
+            sampler,
         )
 
     # ---------------------------------------------------------- decode
@@ -218,20 +245,28 @@ class StableDiffusion:
         n_images: int = 1,
         key: Optional[jax.Array] = None,
         initial_latent=None,
+        sampler: str = "ddim",
     ) -> np.ndarray:
         """Convenience wrapper: prompt string -> uint8 images."""
-        ctx, valid = self.context(tokenizer, prompt)
-        unctx, unvalid = self.unconditional_context(tokenizer)
+        from sdtpu.utils.profiling import phase
+
+        with phase("encode_prompt"):
+            ctx, valid = self.context(tokenizer, prompt)
+            unctx, unvalid = self.unconditional_context(tokenizer)
         if n_images > 1:
             ctx = jnp.tile(ctx, (n_images, 1, 1))
             valid = jnp.tile(valid, (n_images, 1))
-        return self.sample_image(
-            ctx,
-            unctx,
-            guidance_scale,
-            n_steps,
-            key=key,
-            initial_latent=initial_latent,
-            ctx_valid=valid if self.pad_context else None,
-            uncond_valid=unvalid if self.pad_context else None,
-        )
+        with phase("denoise"):
+            latent = self.sample_latent(
+                ctx,
+                unctx,
+                guidance_scale,
+                n_steps,
+                key=key,
+                initial_latent=initial_latent,
+                sampler=sampler,
+                ctx_valid=valid if self.pad_context else None,
+                uncond_valid=unvalid if self.pad_context else None,
+            )
+        with phase("decode"):
+            return self.latent_to_image(latent)
