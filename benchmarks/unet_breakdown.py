@@ -17,7 +17,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def bench(fn, args, iters=12):
     """(t[iters]-t[1])/(iters-1), scalar-fetch synced, one dispatch."""
-    @jax.jit
     def run(args, n):
         def body(c, _):
             out = fn(*c)

@@ -45,8 +45,16 @@ def load_model(model_type: str, model_name: str, preset: str = "sd-v1-4",
     from sdtpu.config import PRESETS
     from sdtpu.pipeline import StableDiffusion
 
+    import os
+
+    if preset not in PRESETS:
+        _fail(f"Unknown preset: {preset} (choose from {', '.join(PRESETS)})")
     cfg = PRESETS[preset]
+    if model_type != "dump" and not os.path.exists(model_name):
+        _fail(f"Error loading model: file not found: {model_name}")
     if model_type == "dump":
+        if not os.path.isdir(model_name):
+            _fail(f"Error loading model dump: no such directory: {model_name}")
         from sdtpu.io.npy_tree import load_stable_diffusion_dump
 
         params = load_stable_diffusion_dump(model_name, cfg)

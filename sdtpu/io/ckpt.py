@@ -254,18 +254,63 @@ def _convert_vae(sd, cfg: StableDiffusionConfig):
     }
 
 
+# ----------------------------------------------------------- CLIP (v2 / OpenCLIP)
+
+def _convert_clip_v2(sd, n_layer: int):
+    """SD v2.x text tower: OpenCLIP ViT-H transformer under
+    cond_stage_model.model.*; fused in_proj split into q/k/v; the
+    'penultimate' configuration takes the first n_layer (=23 of 24)
+    resblocks then ln_final."""
+    base = "cond_stage_model.model"
+    blocks = []
+    for i in range(n_layer):
+        rb = f"{base}.transformer.resblocks.{i}"
+        in_w = _t(sd[f"{rb}.attn.in_proj_weight"])  # [3D, D]
+        in_b = _t(sd[f"{rb}.attn.in_proj_bias"])
+        d = in_w.shape[1]
+        qw, kw, vw = in_w[:d], in_w[d:2 * d], in_w[2 * d:]
+        qb, kb, vb = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+        blocks.append(
+            {
+                "attn": {
+                    "query": {"w": qw.T, "b": qb},
+                    "key": {"w": kw.T, "b": kb},
+                    "value": {"w": vw.T, "b": vb},
+                    "out": _lin(sd, f"{rb}.attn.out_proj"),
+                },
+                "attn_ln": _norm(sd, f"{rb}.ln_1"),
+                "mlp": {
+                    "fc1": _lin(sd, f"{rb}.mlp.c_fc"),
+                    "fc2": _lin(sd, f"{rb}.mlp.c_proj"),
+                },
+                "mlp_ln": _norm(sd, f"{rb}.ln_2"),
+            }
+        )
+    return {
+        "token_embedding": {"w": _t(sd[f"{base}.token_embedding.weight"])},
+        "position_embedding": _t(sd[f"{base}.positional_embedding"]),
+        "blocks": blocks,
+        "layer_norm": _norm(sd, f"{base}.ln_final"),
+    }
+
+
 # ----------------------------------------------------------- top level
 
 def convert_state_dict(sd, cfg: StableDiffusionConfig = SD_V1_4) -> dict:
-    """LDM state_dict (torch tensors or numpy arrays) -> sdtpu params."""
+    """LDM state_dict (torch tensors or numpy arrays) -> sdtpu params.
+    Detects the v1 (HF CLIP) vs v2 (OpenCLIP) text tower automatically."""
     if "alphas_cumprod" in sd:
         alphas = _t(sd["alphas_cumprod"])
     else:
         alphas = np.asarray(scaled_linear_alphas_cumprod(cfg.n_train_steps))
+    if any(k.startswith("cond_stage_model.model.") for k in sd):
+        clip = _convert_clip_v2(sd, cfg.clip.n_layer)
+    else:
+        clip = _convert_clip_v1(sd)
     return {
         "n_steps": cfg.n_train_steps,
         "alphas_cumprod": alphas,
-        "clip": _convert_clip_v1(sd),
+        "clip": clip,
         "unet": _convert_unet(sd, cfg),
         "autoencoder": _convert_vae(sd, cfg),
     }

@@ -280,3 +280,50 @@ def test_mpk_record_transform():
         unet["conv_out"]["w"][0, 0], conv_w[:, :, 0, 0].T)
     assert out["clip"]["blocks"][0]["attn"]["query"]["w"].shape == (4, 4)
     assert out["clip"]["position_embedding"].shape == (8, 4)
+
+
+# --------------------------------------------------------------- v2 CLIP
+
+def test_openclip_v2_text_tower_conversion():
+    """Synthetic OpenCLIP (SD v2) text tower with fused in_proj -> sdtpu
+    blocks; verify split + shapes by running clip_apply."""
+    from sdtpu.io.ckpt import _convert_clip_v2
+    from sdtpu.models.clip import clip_apply
+
+    d, n_layer, vocab, ctx = 16, 2, 64, 8
+    rng = np.random.default_rng(3)
+    sd = {
+        "cond_stage_model.model.token_embedding.weight": rng.standard_normal((vocab, d)).astype(np.float32),
+        "cond_stage_model.model.positional_embedding": rng.standard_normal((ctx, d)).astype(np.float32),
+        "cond_stage_model.model.ln_final.weight": np.ones(d, np.float32),
+        "cond_stage_model.model.ln_final.bias": np.zeros(d, np.float32),
+    }
+    for i in range(n_layer + 1):  # one extra block that must be skipped
+        rb = f"cond_stage_model.model.transformer.resblocks.{i}"
+        sd[f"{rb}.attn.in_proj_weight"] = rng.standard_normal((3 * d, d)).astype(np.float32)
+        sd[f"{rb}.attn.in_proj_bias"] = rng.standard_normal(3 * d).astype(np.float32)
+        sd[f"{rb}.attn.out_proj.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+        sd[f"{rb}.attn.out_proj.bias"] = rng.standard_normal(d).astype(np.float32)
+        sd[f"{rb}.ln_1.weight"] = np.ones(d, np.float32)
+        sd[f"{rb}.ln_1.bias"] = np.zeros(d, np.float32)
+        sd[f"{rb}.mlp.c_fc.weight"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        sd[f"{rb}.mlp.c_fc.bias"] = rng.standard_normal(4 * d).astype(np.float32)
+        sd[f"{rb}.mlp.c_proj.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        sd[f"{rb}.mlp.c_proj.bias"] = rng.standard_normal(d).astype(np.float32)
+        sd[f"{rb}.ln_2.weight"] = np.ones(d, np.float32)
+        sd[f"{rb}.ln_2.bias"] = np.zeros(d, np.float32)
+
+    clip = _convert_clip_v2(sd, n_layer)
+    assert len(clip["blocks"]) == n_layer
+    # q/k/v split: row blocks of in_proj, transposed to [in, out]
+    rb0 = "cond_stage_model.model.transformer.resblocks.0"
+    np.testing.assert_array_equal(
+        clip["blocks"][0]["attn"]["key"]["w"],
+        sd[f"{rb0}.attn.in_proj_weight"][d:2 * d].T)
+
+    cfg = CLIPConfig(n_vocab=vocab, n_state=d, n_head=2, n_ctx=ctx,
+                     n_layer=n_layer, quick_gelu=False)
+    toks = jnp.asarray(np.arange(6, dtype=np.int32)[None])
+    out = clip_apply(jax.tree_util.tree_map(jnp.asarray, clip), toks, cfg)
+    assert out.shape == (1, 6, d)
+    assert np.isfinite(np.asarray(out)).all()
