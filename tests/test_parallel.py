@@ -95,3 +95,37 @@ def test_train_step_dp_tp(dp, tp):
     w0 = np.asarray(jax.tree_util.tree_leaves(params)[0])
     w1 = np.asarray(jax.tree_util.tree_leaves(new_params)[0])
     assert not np.array_equal(w0, w1)
+
+
+def test_train_checkpoint_resume(tmp_path):
+    """Save train state mid-run, restore onto a different mesh layout,
+    continue training — losses stay finite and params match."""
+    import numpy as np
+    from sdtpu.io.checkpoint import restore_train_state, save_train_state
+    from sdtpu.parallel import param_shardings
+
+    mesh8 = make_mesh(dp=8, tp=1)
+    params = tiny_params()["unet"]
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+    step_fn = jax.jit(make_train_step(SD_TINY, opt))
+
+    latents = shard_batch(jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 4)), mesh8)
+    context = shard_batch(jax.random.normal(jax.random.PRNGKey(1), (8, 7, 32)), mesh8)
+    params, opt_state, _ = step_fn(params, opt_state, (latents, context),
+                                   jax.random.PRNGKey(2))
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, params, opt_state, step=1)
+
+    mesh42 = make_mesh(dp=4, tp=2)
+    shardings = param_shardings({"unet": params}, mesh42)["unet"]
+    r_params, r_opt, step = restore_train_state(
+        path, shardings=shardings, template=(params, opt_state))
+    assert step == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(r_params)[0]))
+
+    _, _, loss = step_fn(r_params, r_opt, (latents, context), jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
