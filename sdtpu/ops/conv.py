@@ -49,14 +49,16 @@ def conv2d(params, x, stride: int = 1, padding: PadT = 0):
     """
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    # No preferred_element_type=f32: the MXU accumulates in f32 regardless;
+    # forcing an f32 output doubles the write traffic of the big high-res
+    # convs (measured 22% slower at 512x512x128 on v5e).
     y = lax.conv_general_dilated(
         x,
         params["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     b = params.get("b")
     if b is not None:
         y = y + b

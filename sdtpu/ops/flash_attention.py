@@ -70,6 +70,29 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, n
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+def _fullk_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Single-k-block variant: the whole K/V for one (b,h) fits VMEM
+    (sk*d_pad*2B <= ~1MB at SD sizes), so softmax is direct row softmax —
+    no online rescaling, no scratch round-trips."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
 def _pad_head_dim(x, d_pad):
     d = x.shape[-1]
     if d == d_pad:
@@ -99,6 +122,35 @@ def flash_attention_heads(q, k, v, block_q: int = 512, block_k: int = 1024,
     qp = _pad_head_dim(q, d_pad)
     kp = _pad_head_dim(k, d_pad)
     vp = _pad_head_dim(v, d_pad)
+
+    # full-K fast path: K/V + a [bq, sk] f32 score tile fit comfortably in
+    # VMEM -> direct row softmax, no online-rescale scratch traffic
+    fullk_bq = min(bq, 256)
+    fullk_vmem = (2 * sk * d_pad * qp.dtype.itemsize  # K and V
+                  + fullk_bq * sk * 6                 # scores f32 + p bf16
+                  + 2 * fullk_bq * d_pad * qp.dtype.itemsize)
+    if nk > 1 and fullk_vmem < 10 * 1024 * 1024 and sq % fullk_bq == 0:
+        out = pl.pallas_call(
+            functools.partial(_fullk_kernel, scale=scale),
+            grid=(bh, sq // fullk_bq),
+            in_specs=[
+                pl.BlockSpec((1, fullk_bq, d_pad), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, sk, d_pad), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, sk, d_pad), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, fullk_bq, d_pad), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, sq, d_pad), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bh * sq * sk * d_pad * 2,
+                bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+                transcendentals=bh * sq * sk,
+            ),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out[..., :d]
 
     grid = (bh, nq, nk)
     out = pl.pallas_call(
