@@ -85,7 +85,8 @@ class StableDiffusion:
     # ---------------------------------------------------------- sampler
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "n_steps", "parity_two_pass", "sampler")
+        jax.jit,
+        static_argnames=("self", "n_steps", "parity_two_pass", "sampler", "skip_steps"),
     )
     def _sample_latent_jit(
         self,
@@ -99,9 +100,11 @@ class StableDiffusion:
         n_steps: int,
         parity_two_pass: bool,
         sampler: str = "ddim",
+        skip_steps: int = 0,
     ):
         cfg = self.config
         timesteps, step_size = ddim_schedule(self.n_train_steps, n_steps)
+        timesteps = timesteps[skip_steps:]  # img2img: start mid-schedule
         alphas = params["alphas_cumprod"].astype(jnp.float32)
         a_t, a_prev = ddim_alphas(alphas, timesteps, step_size)
         ts = jnp.asarray(timesteps, jnp.int32)
@@ -153,6 +156,8 @@ class StableDiffusion:
             )
 
             arrs = dpmpp_arrays(alphas, self.n_train_steps, n_steps)
+            if skip_steps:
+                arrs = type(arrs)(*(a[skip_steps:] for a in arrs))
 
             def body(state, step):
                 t = step[0]
@@ -177,6 +182,7 @@ class StableDiffusion:
         ctx_valid=None,
         uncond_valid=None,
         sampler: str = "ddim",
+        skip_steps: int = 0,
     ):
         """mod.rs:102-160, fully on-device. context: [B, S, D]."""
         b = context.shape[0]
@@ -196,6 +202,7 @@ class StableDiffusion:
             n_steps,
             not self.pad_context,
             sampler,
+            skip_steps,
         )
 
     # ---------------------------------------------------------- decode
@@ -246,13 +253,17 @@ class StableDiffusion:
         key: Optional[jax.Array] = None,
         initial_latent=None,
         sampler: str = "ddim",
+        negative_prompt: str = "",
     ) -> np.ndarray:
-        """Convenience wrapper: prompt string -> uint8 images."""
+        """Convenience wrapper: prompt string -> uint8 images.
+
+        negative_prompt replaces the empty-string unconditional context
+        ("" == the reference's behaviour)."""
         from sdtpu.utils.profiling import phase
 
         with phase("encode_prompt"):
             ctx, valid = self.context(tokenizer, prompt)
-            unctx, unvalid = self.unconditional_context(tokenizer)
+            unctx, unvalid = self.context(tokenizer, negative_prompt)
         if n_images > 1:
             ctx = jnp.tile(ctx, (n_images, 1, 1))
             valid = jnp.tile(valid, (n_images, 1))
@@ -270,3 +281,47 @@ class StableDiffusion:
             )
         with phase("decode"):
             return self.latent_to_image(latent)
+
+    def img2img(
+        self,
+        tokenizer: SimpleTokenizer,
+        prompt: str,
+        image,
+        strength: float = 0.75,
+        guidance_scale: float = 7.5,
+        n_steps: int = 20,
+        key: Optional[jax.Array] = None,
+        sampler: str = "ddim",
+        negative_prompt: str = "",
+    ) -> np.ndarray:
+        """Image-to-image: encode `image` ([B,H,W,3] in [-1,1]) into the
+        scaled latent space (z = encode * 0.18215, the inverse of
+        mod.rs:71), q-sample it to the strength-determined timestep, and
+        denoise the remaining schedule. Not in the reference — a natural
+        extension of its encode_image API (autoencoder/mod.rs:60)."""
+        assert 0.0 < strength <= 1.0, strength
+        ctx, valid = self.context(tokenizer, prompt)
+        unctx, unvalid = self.context(tokenizer, negative_prompt)
+
+        z0 = self.encode_image(image).astype(jnp.float32) * self.config.latent_scale
+        b = z0.shape[0]
+        if ctx.shape[0] == 1 and b > 1:
+            ctx = jnp.tile(ctx, (b, 1, 1))
+            valid = jnp.tile(valid, (b, 1))
+
+        timesteps, _ = ddim_schedule(self.n_train_steps, n_steps)
+        skip = min(int(round((1.0 - strength) * n_steps)), n_steps - 1)
+        t_start = timesteps[skip]
+        if key is None:
+            key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2 ** 63))
+        noise = jax.random.normal(key, z0.shape, jnp.float32)
+        a_t = self.params["alphas_cumprod"].astype(jnp.float32)[t_start]
+        x_t = jnp.sqrt(a_t) * z0 + jnp.sqrt(1.0 - a_t) * noise
+
+        latent = self.sample_latent(
+            ctx, unctx, guidance_scale, n_steps,
+            initial_latent=x_t, sampler=sampler, skip_steps=skip,
+            ctx_valid=valid if self.pad_context else None,
+            uncond_valid=unvalid if self.pad_context else None,
+        )
+        return self.latent_to_image(latent)

@@ -57,6 +57,30 @@ def cfg_alphas(cfg: StableDiffusionConfig):
     return _alphas_for(cfg.n_train_steps)
 
 
+def make_optimizer(
+    lr: float = 1e-4,
+    warmup_steps: int = 1000,
+    total_steps: int = 1_000_000,
+    weight_decay: float = 1e-2,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """Standard diffusion-training recipe: global-norm clip + AdamW with
+    linear warmup into cosine decay."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def ema_update(ema_params, params, decay: float = 0.9999):
+    """Exponential moving average of params (the weights SD ships)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params)
+
+
 def make_train_step(cfg: StableDiffusionConfig, optimizer: optax.GradientTransformation,
                     compute_dtype=jnp.float32):
     """Returns train_step(unet_params, opt_state, batch, key) ->

@@ -140,3 +140,39 @@ def test_png_roundtrip(tmp_path):
     assert paths == [str(tmp_path / "out0.png")]
     with open(paths[0], "rb") as f:
         np.testing.assert_array_equal(decode_png_rgb8(f.read()), img)
+
+
+def test_img2img(sd, tok):
+    img = jax.random.uniform(jax.random.PRNGKey(5), (1, 32, 32, 3),
+                             minval=-1, maxval=1)
+    out = sd.img2img(tok, "a mossy stone", img, strength=0.5, n_steps=4,
+                     key=jax.random.PRNGKey(6))
+    assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8
+    # strength=1.0 -> full schedule (no skip); still works
+    out2 = sd.img2img(tok, "a mossy stone", img, strength=1.0, n_steps=4,
+                      key=jax.random.PRNGKey(6))
+    assert not np.array_equal(out, out2)
+
+
+def test_negative_prompt(sd, tok):
+    key = jax.random.PRNGKey(9)
+    lat = jax.random.normal(key, (1, 4, 4, 4))
+    a = sd.generate(tok, "a stone", n_steps=2, initial_latent=lat)
+    b = sd.generate(tok, "a stone", n_steps=2, initial_latent=lat,
+                    negative_prompt="blurry, low quality")
+    assert not np.array_equal(a, b)
+
+
+def test_training_helpers():
+    import optax
+    from sdtpu.training import ema_update, make_optimizer
+
+    opt = make_optimizer(lr=1e-4, warmup_steps=2, total_steps=10)
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    grads = {"w": jnp.full((4, 4), 100.0)}  # will be clipped
+    updates, state = opt.update(grads, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    ema = ema_update({"w": jnp.zeros((4, 4))}, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 0.1, atol=1e-6)
