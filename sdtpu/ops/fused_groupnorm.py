@@ -1,0 +1,103 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+XLA's GroupNorm lowering makes ~3 reads + 1 write over the feature map
+(mean pass, variance pass, normalize). This kernel does 2 reads + 1
+write: one pass accumulating per-group (sum, sum-of-squares) partials,
+a tiny host-side combine, and one normalize+SiLU pass with the affine
+folded into a per-channel scale/bias. At the VAE decoder's 512x512x128
+maps (268MB bf16) the traffic cut is the win; statistics are f32 and the
+result matches sdtpu.ops.group_norm exactly (same E[u^2] formulation:
+var = E[x^2] - E[x]^2 over the group, eps inside rsqrt).
+
+Layout note: NHWC with 32 groups means channels-per-group < 128 lanes,
+so per-group slicing is lane-hostile; instead each block is [rows, C]
+and the group reshape happens in-register.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stats_kernel(x_ref, out_ref, *, n_group):
+    x = x_ref[0].astype(jnp.float32)  # [rows, C]
+    rows, c = x.shape
+    cpg = c // n_group
+    xg = x.reshape(rows, n_group, cpg)
+    s1 = jnp.sum(xg, axis=(0, 2))  # [G]
+    s2 = jnp.sum(xg * xg, axis=(0, 2))
+    g_pad = out_ref.shape[-1]
+    out_ref[0, 0] = jnp.pad(s1, (0, g_pad - n_group))[None, :]
+    out_ref[0, 1] = jnp.pad(s2, (0, g_pad - n_group))[None, :]
+
+
+def _norm_kernel(x_ref, scale_ref, bias_ref, o_ref, *, silu):
+    x = x_ref[0].astype(jnp.float32)
+    y = x * scale_ref[0] + bias_ref[0]
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_group", "eps", "silu", "block_rows", "interpret")
+)
+def group_norm_silu(x, gamma, beta, n_group: int = 32, eps: float = 1e-5,
+                    silu: bool = True, block_rows: int = 1024,
+                    interpret: bool = False):
+    """x: [B, H, W, C] (or [B, rows, C]); returns silu(group_norm(x))."""
+    orig_shape = x.shape
+    b, c = orig_shape[0], orig_shape[-1]
+    rows = 1
+    for s in orig_shape[1:-1]:
+        rows *= s
+    xr = x.reshape(b, rows, c)
+
+    br = min(block_rows, rows)
+    # fall back row-block size to something that divides
+    while rows % br:
+        br //= 2
+    nblk = rows // br
+    g_pad = max(128, -(-n_group // 128) * 128)
+
+    partials = pl.pallas_call(
+        functools.partial(_stats_kernel, n_group=n_group),
+        grid=(b, nblk),
+        in_specs=[pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, 2, 1, g_pad), lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, nblk, g_pad), jnp.float32),
+        interpret=interpret,
+    )(xr)
+
+    sums = partials.sum(axis=2)  # [B, 2, g_pad]
+    n = rows * (c // n_group)
+    mean = sums[:, 0, :n_group] / n
+    var = sums[:, 1, :n_group] / n - mean * mean  # == E[u^2], biased
+
+    inv = jax.lax.rsqrt(var + eps)  # [B, G]
+    cpg = c // n_group
+    inv_c = jnp.repeat(inv, cpg, axis=1)  # [B, C]
+    mean_c = jnp.repeat(mean, cpg, axis=1)
+    gamma_f = gamma.astype(jnp.float32)[None]
+    beta_f = beta.astype(jnp.float32)[None]
+    scale = inv_c * gamma_f
+    bias = beta_f - mean_c * scale
+
+    out = pl.pallas_call(
+        functools.partial(_norm_kernel, silu=silu),
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, rows, c), x.dtype),
+        interpret=interpret,
+    )(xr, scale, bias)
+    return out.reshape(orig_shape)
