@@ -54,18 +54,21 @@ def qkv_attention(
     sk = k.shape[1]
 
     # Measured on TPU v5e (benchmarks/attn_micro.py, scan-in-jit method):
-    # flash[512x1024] beats XLA at s>=2048 with d_head<=160 (0.76x at
-    # s=4096/d=40, 0.68x at s=16384); XLA wins for the VAE's single-head
-    # d=512 (204 TF/s) and for short sequences. Dispatch accordingly.
+    # the full-K Pallas kernel is 3.5x XLA at the dominant self-attention
+    # shape (s=4096, d=40) and the XLA lowering of 77-key cross-attention
+    # is pathologically slow (6ms vs <1ms), so both route to Pallas for
+    # long queries. XLA keeps the VAE's single-head d=512 (204 TF/s
+    # there), short sequences, and additive-mask (CLIP causal) cases.
     d_head = d // n_head
-    if (mask is None and key_valid is None and sq >= 2048 and sk >= 2048
-            and d_head <= 160):
+    if (mask is None and sq >= 2048 and d_head <= 160
+            and (sk >= 2048 or key_valid is not None or sk % 128 == 0)):
         from sdtpu.ops.dispatch import use_pallas
 
-        if use_pallas() and sq % min(512, sq) == 0 and sk % min(1024, sk) == 0:
+        if use_pallas() and sq % min(512, sq) == 0 and (
+                key_valid is not None or sk % min(1024, sk) == 0):
             from sdtpu.ops.flash_attention import flash_qkv_attention
 
-            return flash_qkv_attention(q, k, v, n_head)
+            return flash_qkv_attention(q, k, v, n_head, key_valid=key_valid)
     d_head = d // n_head
     scale = (d / n_head) ** -0.25
 

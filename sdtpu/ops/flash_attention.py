@@ -74,14 +74,25 @@ def _fullk_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     """Single-k-block variant: the whole K/V for one (b,h) fits VMEM
     (sk*d_pad*2B <= ~1MB at SD sizes), so softmax is direct row softmax —
     no online rescaling, no scratch round-trips."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    _fullk_body(q_ref[0], k_ref[0], v_ref[0], None, o_ref, scale)
+
+
+def _fullk_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    """Full-K with an additive per-key bias row ([1, sk], 0 or -1e30) —
+    implements key-padding masks for cross-attention (the reference's
+    variable-length context, stablediffusion/mod.rs:198-211, under
+    static shapes)."""
+    _fullk_body(q_ref[0], k_ref[0], v_ref[0], bias_ref[0], o_ref, scale)
+
+
+def _fullk_body(q, k, v, bias, o_ref, scale):
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
+    if bias is not None:
+        s = s + bias  # [1, sk] broadcast over query rows
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -101,19 +112,35 @@ def _pad_head_dim(x, d_pad):
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention_heads(q, k, v, block_q: int = 512, block_k: int = 1024,
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "n_head", "interpret")
+)
+def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
+                          block_q: int = 512, block_k: int = 1024,
                           interpret: bool = False):
     """q: [BH, Sq, D], k/v: [BH, Sk, D] (heads pre-flattened into batch).
 
-    Unmasked attention with the reference's 1/sqrt(D) effective scaling.
-    D may be any size; it is zero-padded to a lane multiple internally.
+    Attention with the reference's 1/sqrt(D) effective scaling. D may be
+    any size; it is zero-padded to a lane multiple internally. key_bias:
+    optional additive f32 [BH // n_head, Sk] row (0 / -1e30) applied to
+    the scores of every head of that batch element — the key-padding
+    mask for cross-attention (full-K path only).
     """
     bh, sq, d = q.shape
     sk = k.shape[1]
     scale = float(d) ** -0.5  # == ((d)**-0.25)**2 applied to q and k
 
     d_pad = max(128, -(-d // 128) * 128)
+    # pad the key length to a sublane multiple (cross-attention: 77 -> 80)
+    sk_pad = -(-sk // 128) * 128 if key_bias is not None else sk
+    if sk_pad != sk:
+        pad = [(0, 0), (0, sk_pad - sk), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        key_bias = jnp.pad(key_bias, [(0, 0), (0, sk_pad - sk)],
+                           constant_values=_NEG_INF)
+        sk = sk_pad
+
     bq = min(block_q, sq)
     bk = min(block_k, sk)
     assert sq % bq == 0 and sk % bk == 0, (sq, sk, bq, bk)
@@ -126,18 +153,14 @@ def flash_attention_heads(q, k, v, block_q: int = 512, block_k: int = 1024,
     # full-K fast path: K/V + a [bq, sk] f32 score tile fit comfortably in
     # VMEM -> direct row softmax, no online-rescale scratch traffic
     fullk_bq = min(bq, 256)
+    while sq % fullk_bq:
+        fullk_bq //= 2
     fullk_vmem = (2 * sk * d_pad * qp.dtype.itemsize  # K and V
                   + fullk_bq * sk * 6                 # scores f32 + p bf16
                   + 2 * fullk_bq * d_pad * qp.dtype.itemsize)
-    if nk > 1 and fullk_vmem < 10 * 1024 * 1024 and sq % fullk_bq == 0:
-        out = pl.pallas_call(
-            functools.partial(_fullk_kernel, scale=scale),
-            grid=(bh, sq // fullk_bq),
-            in_specs=[
-                pl.BlockSpec((1, fullk_bq, d_pad), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((1, sk, d_pad), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((1, sk, d_pad), lambda b, i: (b, 0, 0)),
-            ],
+    if (nk > 1 or key_bias is not None) and fullk_vmem < 10 * 1024 * 1024:
+        grid = (bh, sq // fullk_bq)
+        common = dict(
             out_specs=pl.BlockSpec((1, fullk_bq, d_pad), lambda b, i: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct((bh, sq, d_pad), q.dtype),
             compiler_params=pltpu.CompilerParams(
@@ -149,7 +172,29 @@ def flash_attention_heads(q, k, v, block_q: int = 512, block_k: int = 1024,
                 transcendentals=bh * sq * sk,
             ),
             interpret=interpret,
-        )(qp, kp, vp)
+        )
+        qkv_specs = [
+            pl.BlockSpec((1, fullk_bq, d_pad), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, sk, d_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, sk, d_pad), lambda b, i: (b, 0, 0)),
+        ]
+        if key_bias is not None:
+            nh = n_head
+            out = pl.pallas_call(
+                functools.partial(_fullk_bias_kernel, scale=scale),
+                grid=grid,
+                in_specs=qkv_specs + [
+                    pl.BlockSpec((1, sk), lambda b, i: (b // nh, 0)),
+                ],
+                **common,
+            )(qp, kp, vp, key_bias.astype(jnp.float32))
+        else:
+            out = pl.pallas_call(
+                functools.partial(_fullk_kernel, scale=scale),
+                grid=grid,
+                in_specs=qkv_specs,
+                **common,
+            )(qp, kp, vp)
         return out[..., :d]
 
     grid = (bh, nq, nk)
@@ -181,9 +226,11 @@ def flash_attention_heads(q, k, v, block_q: int = 512, block_k: int = 1024,
     return out[..., :d]
 
 
-def flash_qkv_attention(q, k, v, n_head: int, interpret: bool = False):
-    """Drop-in for sdtpu.ops.attention.qkv_attention (mask-free case):
-    q/k/v [B, S, n_state] flattened-head layout -> [B, Sq, n_state]."""
+def flash_qkv_attention(q, k, v, n_head: int, key_valid=None,
+                        interpret: bool = False):
+    """Drop-in for sdtpu.ops.attention.qkv_attention: q/k/v [B, S,
+    n_state] flattened-head layout -> [B, Sq, n_state]. key_valid:
+    optional bool [B, Sk] marking real keys (cross-attention padding)."""
     b, sq, n_state = q.shape
     sk = k.shape[1]
     dh = n_state // n_head
@@ -192,7 +239,12 @@ def flash_qkv_attention(q, k, v, n_head: int, interpret: bool = False):
         return (x.reshape(b, s, n_head, dh).transpose(0, 2, 1, 3)
                 .reshape(b * n_head, s, dh))
 
+    key_bias = None
+    if key_valid is not None:
+        key_bias = jnp.where(key_valid, 0.0, _NEG_INF).astype(jnp.float32)
+
     o = flash_attention_heads(split(q, sq), split(k, sk), split(v, sk),
+                              key_bias=key_bias, n_head=n_head,
                               interpret=interpret)
     return (o.reshape(b, n_head, sq, dh).transpose(0, 2, 1, 3)
             .reshape(b, sq, n_state))

@@ -48,3 +48,23 @@ def test_flash_bf16():
     # softmax weights at different points
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=7e-2)
+
+
+def test_flash_cross_attention_key_bias():
+    """Full-K kernel with key-padding bias == unpadded XLA attention
+    (the cross-attention fast path, kv padded 77 -> 128)."""
+    b, h, sq, sk, d = 2, 8, 2048, 77, 320
+    q = jnp.asarray(RNG.standard_normal((b, sq, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, sk, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, sk, d)), jnp.float32)
+
+    want = qkv_attention(q, k, v, None, h)  # XLA path (sk too small alone)
+
+    # right-pad keys (77 -> 96, further padded to 128 inside the kernel)
+    # and mark only the first sk as valid
+    k_pad = jnp.concatenate([k, jnp.zeros((b, 19, d), k.dtype)], axis=1)
+    v_pad = jnp.concatenate([v, jnp.zeros((b, 19, d), v.dtype)], axis=1)
+    valid = jnp.zeros((b, sk + 19), bool).at[:, :sk].set(True)
+
+    got = flash_qkv_attention(q, k_pad, v_pad, h, key_valid=valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
