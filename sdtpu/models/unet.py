@@ -35,6 +35,7 @@ from sdtpu.ops import (
     timestep_embedding,
 )
 from sdtpu.ops.conv import nearest_upsample_2x
+from sdtpu.ops.groupnorm import group_norm_silu_op
 
 
 # ------------------------------------------------------------ structure
@@ -210,12 +211,12 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
 
 def _res_block_apply(p, x, emb, cfg: UNetConfig):
     """reference: unet/mod.rs:713-733."""
-    h = group_norm(x, p["norm_in"]["g"], p["norm_in"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
-    h = conv2d(p["conv_in"], silu(h), padding=1)
+    h = group_norm_silu_op(x, p["norm_in"]["g"], p["norm_in"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    h = conv2d(p["conv_in"], h, padding=1)
     e = linear(p["lin_embed"], silu(emb))  # [B?, c_out]
     h = h + e[:, None, None, :]
-    h = group_norm(h, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
-    h = conv2d(p["conv_out"], silu(h), padding=1)
+    h = group_norm_silu_op(h, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    h = conv2d(p["conv_out"], h, padding=1)
     if "skip_connection" in p:
         x = conv2d(p["skip_connection"], x, padding=0)
     return x + h

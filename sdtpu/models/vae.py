@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from sdtpu.config import AutoencoderConfig
 from sdtpu.models.initializers import init_conv2d, init_norm
 from sdtpu.ops import conv2d, group_norm, qkv_attention, silu
+from sdtpu.ops.groupnorm import group_norm_silu_op
 from sdtpu.ops.conv import nearest_upsample_2x
 
 
@@ -119,10 +120,10 @@ def init_autoencoder(key, cfg: AutoencoderConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------- apply
 
 def _resnet_apply(p, x, cfg):
-    h = group_norm(x, p["norm1"]["g"], p["norm1"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
-    h = conv2d(p["conv1"], silu(h), padding=1)
-    h = group_norm(h, p["norm2"]["g"], p["norm2"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
-    h = conv2d(p["conv2"], silu(h), padding=1)
+    h = group_norm_silu_op(x, p["norm1"]["g"], p["norm1"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    h = conv2d(p["conv1"], h, padding=1)
+    h = group_norm_silu_op(h, p["norm2"]["g"], p["norm2"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    h = conv2d(p["conv2"], h, padding=1)
     if "nin_shortcut" in p:
         x = conv2d(p["nin_shortcut"], x, padding=0)
     return x + h
@@ -158,8 +159,8 @@ def encoder_apply(params, x, cfg: AutoencoderConfig):
             # asymmetric (0,1,0,1) pad, stride 2 (autoencoder/mod.rs:231)
             x = conv2d(blk["downsampler"]["conv"], x, stride=2, padding=((0, 1), (0, 1)))
     x = _mid_apply(p["mid"], x, cfg)
-    x = group_norm(x, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
-    return conv2d(p["conv_out"], silu(x), padding=1)
+    x = group_norm_silu_op(x, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    return conv2d(p["conv_out"], x, padding=1)
 
 
 def encode_image(params, x, cfg: AutoencoderConfig):
@@ -182,5 +183,5 @@ def decode_latent(params, z, cfg: AutoencoderConfig):
         x = _resnet_apply(blk["res3"], x, cfg)
         if "upsampler" in blk:
             x = conv2d(blk["upsampler"], nearest_upsample_2x(x), padding=1)
-    x = group_norm(x, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
-    return conv2d(p["conv_out"], silu(x), padding=1)
+    x = group_norm_silu_op(x, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+    return conv2d(p["conv_out"], x, padding=1)

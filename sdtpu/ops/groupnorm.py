@@ -11,6 +11,7 @@ over the same element sets as the reference's NCHW reshape, so results
 are identical.
 """
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -33,6 +34,29 @@ def group_norm(x, gamma, beta, n_group: int, eps: float = 1e-5):
     normed = u * lax.rsqrt(var + eps)
     normed = normed.reshape(orig_shape).astype(x.dtype)
     return normed * gamma + beta
+
+
+def group_norm_silu_op(x, gamma, beta, n_group: int, eps: float = 1e-5):
+    """GroupNorm followed by SiLU — the pervasive pairing in ResBlocks
+    (reference: unet/mod.rs:713-726, autoencoder/mod.rs:513-520).
+
+    Dispatches to the fused 2-pass Pallas kernel for large feature maps
+    on TPU (SDTPU_FUSED_GN=1; saves one full read of the map vs XLA's
+    lowering), else the portable composition below.
+    """
+    import os
+
+    if os.environ.get("SDTPU_FUSED_GN", "0") not in ("0", "", "false"):
+        from sdtpu.ops.dispatch import use_pallas
+
+        rows = x.size // x.shape[-1] // x.shape[0]
+        if use_pallas() and x.size >= 1 << 20 and x.shape[-1] % 128 == 0 \
+                and rows % 8 == 0:
+            from sdtpu.ops.fused_groupnorm import group_norm_silu
+
+            return group_norm_silu(x, gamma, beta, n_group, eps, silu=True)
+    y = group_norm(x, gamma, beta, n_group, eps)
+    return y * jax.nn.sigmoid(y)
 
 
 def layer_norm(x, gamma, beta, eps: float = 1e-5):

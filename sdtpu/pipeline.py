@@ -139,10 +139,18 @@ class StableDiffusion:
                 e_un, e_c = eps2[:b], eps2[b:]
                 return e_un + (e_c - e_un) * guidance_scale
 
+        def to_eps(model_out, lat, at):
+            """v-prediction models (SD v2.1-768) emit v = sqrt(a) eps -
+            sqrt(1-a) x0; convert to epsilon so the solver math below is
+            shared: eps = sqrt(a) v + sqrt(1-a) x_t."""
+            if cfg.prediction_type == "v":
+                return jnp.sqrt(at) * model_out + jnp.sqrt(1.0 - at) * lat
+            return model_out
+
         if sampler == "ddim":
             def body(lat, step):
                 t, at, ap = step
-                eps = denoise(lat, t)
+                eps = to_eps(denoise(lat, t), lat, at)
                 return ddim_step(lat, eps, at, ap), None
 
             latent, _ = jax.lax.scan(body, latent.astype(jnp.float32), (ts, a_t, a_prev))
@@ -161,7 +169,8 @@ class StableDiffusion:
 
             def body(state, step):
                 t = step[0]
-                eps = denoise(state.x, t)
+                at = step[1] * step[1]  # alpha_t = sqrt(a_cum) -> a_cum
+                eps = to_eps(denoise(state.x, t), state.x, at)
                 return dpmpp_2m_step(state, eps, step[1:]), None
 
             xs = (arrs.timesteps, arrs.alpha_t, arrs.sigma_t, arrs.lam_t,
