@@ -184,10 +184,13 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
                 functools.partial(_fullk_bias_kernel, scale=scale),
                 grid=grid,
                 in_specs=qkv_specs + [
-                    pl.BlockSpec((1, sk), lambda b, i: (b // nh, 0)),
+                    # [B, 1, sk] with a unit sublane axis (Mosaic requires
+                    # the 2nd-minor block dim be 8-divisible OR the full
+                    # array dim)
+                    pl.BlockSpec((1, 1, sk), lambda b, i: (b // nh, 0, 0)),
                 ],
                 **common,
-            )(qp, kp, vp, key_bias.astype(jnp.float32))
+            )(qp, kp, vp, key_bias.astype(jnp.float32)[:, None, :])
         else:
             out = pl.pallas_call(
                 functools.partial(_fullk_kernel, scale=scale),
