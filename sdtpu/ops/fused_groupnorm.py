@@ -32,8 +32,10 @@ def _stats_kernel(x_ref, out_ref, *, n_group):
     s1 = jnp.sum(xg, axis=(0, 2))  # [G]
     s2 = jnp.sum(xg * xg, axis=(0, 2))
     g_pad = out_ref.shape[-1]
-    out_ref[0, 0] = jnp.pad(s1, (0, g_pad - n_group))[None, :]
-    out_ref[0, 1] = jnp.pad(s2, (0, g_pad - n_group))[None, :]
+    out_ref[0, 0] = jnp.stack([
+        jnp.pad(s1, (0, g_pad - n_group)),
+        jnp.pad(s2, (0, g_pad - n_group)),
+    ])
 
 
 def _norm_kernel(x_ref, scale_ref, bias_ref, o_ref, *, silu):
@@ -69,12 +71,12 @@ def group_norm_silu(x, gamma, beta, n_group: int = 32, eps: float = 1e-5,
         functools.partial(_stats_kernel, n_group=n_group),
         grid=(b, nblk),
         in_specs=[pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0))],
-        out_specs=pl.BlockSpec((1, 2, 1, g_pad), lambda i, j: (i, 0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 2, nblk, g_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, 2, g_pad), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nblk, 2, g_pad), jnp.float32),
         interpret=interpret,
     )(xr)
 
-    sums = partials.sum(axis=2)  # [B, 2, g_pad]
+    sums = partials.sum(axis=1)  # [B, 2, g_pad]
     n = rows * (c // n_group)
     mean = sums[:, 0, :n_group] / n
     var = sums[:, 1, :n_group] / n - mean * mean  # == E[u^2], biased
@@ -93,11 +95,13 @@ def group_norm_silu(x, gamma, beta, n_group: int = 32, eps: float = 1e-5,
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
+            # unit sublane axis: Mosaic requires the 2nd-minor block dim
+            # be 8-divisible or the full array dim
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, rows, c), x.dtype),
         interpret=interpret,
-    )(xr, scale, bias)
+    )(xr, scale[:, None, :], bias[:, None, :])
     return out.reshape(orig_shape)
