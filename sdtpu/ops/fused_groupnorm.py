@@ -24,18 +24,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _stats_kernel(x_ref, out_ref, *, n_group):
+def _stats_kernel(x_ref, out_ref):
+    """Per-CHANNEL partial sums (lane-aligned; Mosaic can't reshape the
+    lane dim to [G, cpg] for unaligned cpg — the tiny [C]->[G] group
+    reduction happens outside the kernel)."""
     x = x_ref[0].astype(jnp.float32)  # [rows, C]
-    rows, c = x.shape
-    cpg = c // n_group
-    xg = x.reshape(rows, n_group, cpg)
-    s1 = jnp.sum(xg, axis=(0, 2))  # [G]
-    s2 = jnp.sum(xg * xg, axis=(0, 2))
-    g_pad = out_ref.shape[-1]
-    out_ref[0, 0] = jnp.stack([
-        jnp.pad(s1, (0, g_pad - n_group)),
-        jnp.pad(s2, (0, g_pad - n_group)),
-    ])
+    s1 = jnp.sum(x, axis=0)  # [C]
+    s2 = jnp.sum(x * x, axis=0)
+    out_ref[0, 0] = jnp.stack([s1, s2])
 
 
 def _norm_kernel(x_ref, scale_ref, bias_ref, o_ref, *, silu):
@@ -65,21 +61,22 @@ def group_norm_silu(x, gamma, beta, n_group: int = 32, eps: float = 1e-5,
     while rows % br:
         br //= 2
     nblk = rows // br
-    g_pad = max(128, -(-n_group // 128) * 128)
 
     partials = pl.pallas_call(
-        functools.partial(_stats_kernel, n_group=n_group),
+        _stats_kernel,
         grid=(b, nblk),
         in_specs=[pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0))],
-        out_specs=pl.BlockSpec((1, 1, 2, g_pad), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nblk, 2, g_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, 2, c), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nblk, 2, c), jnp.float32),
         interpret=interpret,
     )(xr)
 
-    sums = partials.sum(axis=1)  # [B, 2, g_pad]
-    n = rows * (c // n_group)
-    mean = sums[:, 0, :n_group] / n
-    var = sums[:, 1, :n_group] / n - mean * mean  # == E[u^2], biased
+    cpg = c // n_group
+    sums = partials.sum(axis=1)  # [B, 2, C]
+    gsums = sums.reshape(b, 2, n_group, cpg).sum(-1)  # [B, 2, G]
+    n = rows * cpg
+    mean = gsums[:, 0] / n
+    var = gsums[:, 1] / n - mean * mean  # == E[u^2], biased
 
     inv = jax.lax.rsqrt(var + eps)  # [B, G]
     cpg = c // n_group
