@@ -56,10 +56,25 @@ def group_norm_silu(x, gamma, beta, n_group: int = 32, eps: float = 1e-5,
         rows *= s
     xr = x.reshape(b, rows, c)
 
-    br = min(block_rows, rows)
+    # VMEM-aware row block: ~12-16 bytes/element live across the in block
+    # (double-buffered), the f32 compute temp, and the out block
+    vmem_budget = 5 * 1024 * 1024
+    br_cap = max(8, (vmem_budget // (16 * c)) // 8 * 8)
+    br = min(block_rows, rows, br_cap)
     # fall back row-block size to something that divides
     while rows % br:
         br //= 2
+    if br < 8 and rows >= 8:
+        # no viable tiling: do the straightforward fused math in jnp
+        xf = xr.astype(jnp.float32).reshape(b, rows, n_group, c // n_group)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        u = xf - mean
+        var = (u * u).mean(axis=(1, 3), keepdims=True)
+        y = (u * jax.lax.rsqrt(var + eps)).reshape(b, rows, c)
+        y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype).reshape(orig_shape)
     nblk = rows // br
 
     partials = pl.pallas_call(
