@@ -46,12 +46,18 @@ def group_norm_silu_op(x, gamma, beta, n_group: int, eps: float = 1e-5):
     """
     import os
 
-    if os.environ.get("SDTPU_FUSED_GN", "0") not in ("0", "", "false"):
+    # Measured on v5e (BENCHLOG.md): the fused kernel cuts VAE decode 33%
+    # (large spatial maps, >=128^2 rows) but is neutral-to-negative inside
+    # the UNet (<=64^2 rows, where XLA's fusion already keeps the map in
+    # cache-resident tiles). Default on for the big maps; SDTPU_FUSED_GN=0
+    # disables, =all forces it everywhere.
+    mode = os.environ.get("SDTPU_FUSED_GN", "1")
+    if mode not in ("0", "", "false"):
         from sdtpu.ops.dispatch import use_pallas
 
         rows = x.size // x.shape[-1] // x.shape[0]
-        if use_pallas() and x.size >= 1 << 20 and x.shape[-1] % 128 == 0 \
-                and rows % 8 == 0:
+        big = rows >= (1 << 14) or mode == "all"
+        if use_pallas() and big and x.shape[-1] % 128 == 0 and rows % 8 == 0:
             from sdtpu.ops.fused_groupnorm import group_norm_silu
 
             return group_norm_silu(x, gamma, beta, n_group, eps, silu=True)
