@@ -53,15 +53,14 @@ def qkv_attention(
     b, sq, d = q.shape
     sk = k.shape[1]
 
-    # Measured on TPU v5e (benchmarks/attn_micro.py, scan-in-jit method):
-    # the full-K Pallas kernel is 3.5x XLA at the dominant self-attention
-    # shape (s=4096, d=40) and the XLA lowering of 77-key cross-attention
-    # is pathologically slow (6ms vs <1ms), so both route to Pallas for
-    # long queries. XLA keeps the VAE's single-head d=512 (204 TF/s
-    # there), short sequences, and additive-mask (CLIP causal) cases.
+    # Measured on TPU v5e (benchmarks/attn_micro.py + /tmp A/Bs, scan-in-
+    # jit method): the full-K Pallas kernel is 3.5x XLA at the dominant
+    # self-attention shape (s=4096, d=40, 2.09ms vs 7.37ms); XLA keeps
+    # 77-key cross-attention (0.48ms vs 0.61ms pallas), the VAE's
+    # single-head d=512 (204 TF/s), short sequences, and additive-mask
+    # (CLIP causal) cases.
     d_head = d // n_head
-    if (mask is None and sq >= 2048 and d_head <= 160
-            and (sk >= 2048 or key_valid is not None or sk % 128 == 0)):
+    if (mask is None and sq >= 2048 and sk >= 2048 and d_head <= 160):
         from sdtpu.ops.dispatch import use_pallas
 
         if use_pallas() and sq % min(512, sq) == 0 and (
