@@ -34,7 +34,7 @@ from sdtpu.ops import (
     silu,
     timestep_embedding,
 )
-from sdtpu.ops.conv import nearest_upsample_2x
+from sdtpu.ops.conv import nearest_upsample_2x, upsample2x_conv
 from sdtpu.ops.groupnorm import group_norm_silu_op
 
 
@@ -264,7 +264,8 @@ def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid):
     if spec.transformer:
         x = _transformer_apply(p["transformer"], x, context, cfg, spec.n_head, ctx_valid)
     if spec.upsample:
-        x = conv2d(p["upsample"]["conv"], nearest_upsample_2x(x), padding=1)
+        # fused subpixel form of nearest-2x + conv3x3 (see ops/conv.py)
+        x = upsample2x_conv(p["upsample"]["conv"], x)
     return x
 
 

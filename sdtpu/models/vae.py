@@ -21,7 +21,7 @@ from sdtpu.config import AutoencoderConfig
 from sdtpu.models.initializers import init_conv2d, init_norm
 from sdtpu.ops import conv2d, group_norm, qkv_attention, silu
 from sdtpu.ops.groupnorm import group_norm_silu_op
-from sdtpu.ops.conv import nearest_upsample_2x
+from sdtpu.ops.conv import nearest_upsample_2x, upsample2x_conv
 
 
 # ---------------------------------------------------------------- init
@@ -182,6 +182,7 @@ def decode_latent(params, z, cfg: AutoencoderConfig):
         x = _resnet_apply(blk["res2"], x, cfg)
         x = _resnet_apply(blk["res3"], x, cfg)
         if "upsampler" in blk:
-            x = conv2d(blk["upsampler"], nearest_upsample_2x(x), padding=1)
+            # fused subpixel form of nearest-2x + conv3x3 (see ops/conv.py)
+            x = upsample2x_conv(blk["upsampler"], x)
     x = group_norm_silu_op(x, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
     return conv2d(p["conv_out"], x, padding=1)

@@ -73,3 +73,53 @@ def nearest_upsample_2x(x):
     x = x.reshape(b, h, 1, w, 1, c)
     x = jnp.tile(x, (1, 1, 2, 1, 2, 1))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def upsample2x_conv(params, x):
+    """conv3x3(nearest_upsample_2x(x)) WITHOUT materialising the 4x
+    tensor, as four phase-specific 2x2 convolutions + interleave.
+
+    Because nearest-up duplicates pixels, the 3x3 taps collapse: each of
+    the 4 output phases (py, px) reads a 2x2 neighbourhood of x with
+    weights that are partial sums of the 3x3 kernel — 4 effective taps
+    per output pixel instead of 9 (2.25x fewer FLOPs) and no 4x
+    intermediate. Bit-equivalent up to fp summation order.
+    """
+    w = params["w"]  # [3, 3, I, O]
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+
+    # row-part combinations: phase 0 reads rows (i-1, i) with weights
+    # (w0, w1+w2); phase 1 reads (i, i+1) with (w0+w1, w2). Same for cols.
+    r0 = jnp.stack([w[0], w[1] + w[2]])          # [2, 3, I, O] phase py=0
+    r1 = jnp.stack([w[0] + w[1], w[2]])          # [2, 3, I, O] phase py=1
+
+    def colmix(k, px):  # k: [2, 3, I, O] -> [2, 2, I, O]
+        if px == 0:
+            return jnp.stack([k[:, 0], k[:, 1] + k[:, 2]], axis=1)
+        return jnp.stack([k[:, 0] + k[:, 1], k[:, 2]], axis=1)
+
+    kernels = {
+        (0, 0): colmix(r0, 0), (0, 1): colmix(r0, 1),
+        (1, 0): colmix(r1, 0), (1, 1): colmix(r1, 1),
+    }
+    pads = {
+        (0, 0): ((1, 0), (1, 0)), (0, 1): ((1, 0), (0, 1)),
+        (1, 0): ((0, 1), (1, 0)), (1, 1): ((0, 1), (0, 1)),
+    }
+
+    phases = {}
+    for (py, px), k in kernels.items():
+        phases[(py, px)] = lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), pads[(py, px)],
+            dimension_numbers=_DIMSPEC)
+
+    # interleave: y[2i+py, 2j+px] = phases[py,px][i, j]
+    row0 = jnp.stack([phases[(0, 0)], phases[(0, 1)]], axis=3)  # [B,H,W,2,O]
+    row1 = jnp.stack([phases[(1, 0)], phases[(1, 1)]], axis=3)
+    y = jnp.stack([row0, row1], axis=2)  # [B, H, 2, W, 2, O]
+    y = y.reshape(b, 2 * h, 2 * wd, cout)
+    bias = params.get("b")
+    if bias is not None:
+        y = y + bias
+    return y

@@ -156,3 +156,17 @@ def test_activations():
         np.asarray(silu(jnp.asarray(x))), x / (1 + np.exp(-x)), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(quick_gelu(jnp.asarray(x))), x / (1 + np.exp(-1.702 * x)), atol=1e-6)
+
+
+def test_upsample2x_conv_equivalence():
+    """4-phase subpixel fusion == nearest_upsample_2x + conv3x3."""
+    from sdtpu.ops.conv import upsample2x_conv
+
+    x = jnp.asarray(RNG.standard_normal((2, 6, 5, 8)), jnp.float32)
+    w = jnp.asarray(RNG.standard_normal((3, 3, 8, 12)), jnp.float32)
+    b = jnp.asarray(RNG.standard_normal(12), jnp.float32)
+    params = {"w": w, "b": b}
+    want = conv2d(params, nearest_upsample_2x(x), padding=1)
+    got = upsample2x_conv(params, x)
+    assert got.shape == (2, 12, 10, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
