@@ -150,21 +150,24 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
     kp = _pad_head_dim(k, d_pad)
     vp = _pad_head_dim(v, d_pad)
 
-    # full-K fast path: K/V + a [bq, sk] f32 score tile fit comfortably in
-    # VMEM -> direct row softmax, no online-rescale scratch traffic
-    fullk_bq = min(bq, 256)
+    # full-K fast path: K/V + a [bq, sk] f32 score tile fit in VMEM ->
+    # direct row softmax, no online-rescale scratch traffic. v5e has
+    # 128MB physical VMEM; Mosaic's default 16MB scoped limit is raised
+    # explicitly (measured: bq=1024 @ 64MB limit is ~1.6x bq=256 @ 16MB).
+    fullk_bq = min(bq, 1024)
     while sq % fullk_bq:
         fullk_bq //= 2
     fullk_vmem = (2 * sk * d_pad * qp.dtype.itemsize  # K and V
                   + fullk_bq * sk * 6                 # scores f32 + p bf16
                   + 2 * fullk_bq * d_pad * qp.dtype.itemsize)
-    if (nk > 1 or key_bias is not None) and fullk_vmem < 10 * 1024 * 1024:
+    if (nk > 1 or key_bias is not None) and fullk_vmem < 48 * 1024 * 1024:
         grid = (bh, sq // fullk_bq)
         common = dict(
             out_specs=pl.BlockSpec((1, fullk_bq, d_pad), lambda b, i: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct((bh, sq, d_pad), q.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=96 * 1024 * 1024,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * bh * sq * sk * d_pad * 2,

@@ -129,3 +129,25 @@ def test_train_checkpoint_resume(tmp_path):
 
     _, _, loss = step_fn(r_params, r_opt, (latents, context), jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
+
+
+def test_training_reduces_loss():
+    """A few steps on a fixed batch should reduce the diffusion loss —
+    integration check of loss + grads + optimizer together."""
+    import numpy as np
+
+    params = tiny_params()["unet"]
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+    step_fn = jax.jit(make_train_step(SD_TINY, opt))
+
+    latents = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))
+    context = jax.random.normal(jax.random.PRNGKey(1), (4, 7, 32))
+    losses = []
+    for i in range(6):
+        # fixed data AND fixed step key -> pure optimization progress
+        params, opt_state, loss = step_fn(params, opt_state,
+                                          (latents, context),
+                                          jax.random.PRNGKey(42))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
