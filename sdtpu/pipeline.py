@@ -112,6 +112,8 @@ class StableDiffusion:
         b = latent.shape[0]
         uncond_b = jnp.broadcast_to(uncond_context, (b,) + uncond_context.shape[1:])
         guidance_scale = jnp.asarray(guidance_scale, jnp.float32)
+        if guidance_scale.ndim == 1:  # per-item guidance (serving batches)
+            guidance_scale = guidance_scale[:, None, None, None]
 
         if parity_two_pass:
             def denoise(lat, t):

@@ -26,6 +26,7 @@ class _State:
     sd = None
     tokenizer = None
     lock = threading.Lock()
+    batcher = None
     default_steps = 20
     default_scale = 7.5
     ready = False
@@ -34,18 +35,129 @@ class _State:
 STATE = _State()
 
 
+class Batcher:
+    """Dynamic micro-batching: concurrent /generate requests that share
+    (n_steps, sampler) are fused into one device batch (padded to a
+    power of two so the jit cache stays small). Per-item guidance scales
+    and negative prompts are supported; seeds stay per-item."""
+
+    def __init__(self, sd, tokenizer, max_batch: int = 8, window_ms: float = 15.0):
+        import queue
+
+        self.sd = sd
+        self.tokenizer = tokenizer
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.queue: "queue.Queue" = queue.Queue()
+        self._held = []  # items deferred because their key mismatched
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def submit(self, prompt, steps, scale, seed, n_images, negative):
+        ev = threading.Event()
+        slot = {}
+        self.queue.put((prompt, steps, scale, seed, n_images, negative, ev, slot))
+        ev.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["images"]
+
+    # ------------------------------------------------------------ worker
+
+    def _collect(self):
+        import queue
+
+        items = list(self._held)
+        self._held = []
+        if not items:
+            items.append(self.queue.get())
+        deadline = time.monotonic() + self.window_s
+        key = (items[0][1],)  # batch key: n_steps
+        total = sum(it[4] for it in items)
+        while total < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                it = self.queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if (it[1],) == key and total + it[4] <= self.max_batch:
+                items.append(it)
+                total += it[4]
+            else:
+                self._held.append(it)
+                break
+        return items
+
+    def _worker(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        while True:
+            items = self._collect()
+            try:
+                self._run_batch(items, jax, jnp, np)
+            except Exception as e:  # pragma: no cover - defensive
+                for *_rest, ev, slot in items:
+                    slot["error"] = f"{type(e).__name__}: {e}"
+                    ev.set()
+
+    def _run_batch(self, items, jax, jnp, np):
+        sd, tok = self.sd, self.tokenizer
+        steps = items[0][1]
+        ctxs, valids, unctxs, unvalids, scales, latents = [], [], [], [], [], []
+        counts = []
+        for prompt, _steps, scale, seed, n_images, negative, _ev, _slot in items:
+            ctx, valid = sd.context(tok, prompt)
+            unctx, unvalid = sd.context(tok, negative)
+            key = jax.random.PRNGKey(seed if seed is not None
+                                     else time.monotonic_ns() % (2 ** 63))
+            hw = sd.config.latent_size
+            lat = jax.random.normal(key, (n_images, hw, hw, 4), jnp.float32)
+            for _ in range(n_images):
+                ctxs.append(ctx[0]); valids.append(valid[0])
+                unctxs.append(unctx[0]); unvalids.append(unvalid[0])
+                scales.append(scale)
+            latents.append(lat)
+            counts.append(n_images)
+
+        b = len(ctxs)
+        b_pad = 1
+        while b_pad < b:
+            b_pad *= 2
+        pad = b_pad - b
+        if pad:
+            ctxs += [ctxs[0]] * pad
+            valids += [valids[0]] * pad
+            unctxs += [unctxs[0]] * pad
+            unvalids += [unvalids[0]] * pad
+            scales += [scales[0]] * pad
+            latents.append(jnp.zeros((pad,) + latents[0].shape[1:], jnp.float32))
+
+        images = sd.sample_image(
+            jnp.stack(ctxs), jnp.stack(unctxs),
+            jnp.asarray(scales, jnp.float32), steps,
+            initial_latent=jnp.concatenate(latents, axis=0),
+            ctx_valid=jnp.stack(valids) if sd.pad_context else None,
+            uncond_valid=jnp.stack(unvalids) if sd.pad_context else None,
+        )
+
+        i = 0
+        for (_p, _s, _sc, _seed, n_images, _neg, ev, slot), n in zip(items, counts):
+            slot["images"] = np.asarray(images[i : i + n])
+            i += n
+            ev.set()
+
+
 def _generate(prompt, steps, scale, seed, batch, negative):
-    import jax
     import numpy as np
 
     from sdtpu.utils.image import encode_png_rgb8
 
-    key = jax.random.PRNGKey(seed) if seed is not None else None
     t0 = time.perf_counter()
-    with STATE.lock:
-        imgs = STATE.sd.generate(
-            STATE.tokenizer, prompt, guidance_scale=scale, n_steps=steps,
-            n_images=batch, key=key, negative_prompt=negative)
+    imgs = STATE.batcher.submit(prompt, steps, scale, seed, batch, negative)
     dt = time.perf_counter() - t0
     pngs = [base64.b64encode(encode_png_rgb8(np.asarray(im))).decode()
             for im in imgs]
@@ -99,14 +211,15 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def make_server(sd, tokenizer, port: int = 8000, warmup: bool = True,
-                default_steps: int = 20):
+                default_steps: int = 20, max_batch: int = 8,
+                batch_window_ms: float = 15.0):
     STATE.sd = sd
     STATE.tokenizer = tokenizer
     STATE.default_steps = default_steps
+    STATE.batcher = Batcher(sd, tokenizer, max_batch=max_batch,
+                            window_ms=batch_window_ms)
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     if warmup:
-        import jax
-
         _generate("warmup", default_steps, 7.5, 0, 1, "")
     STATE.ready = True
     return server

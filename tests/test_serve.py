@@ -66,3 +66,23 @@ def test_generate_errors(server_port):
     assert code == 400
     code, resp = _post(server_port, {"prompt": "x", "n_images": 99})
     assert code == 400
+
+
+def test_concurrent_requests_batch(server_port):
+    """Fire concurrent requests; the micro-batcher must fuse and answer
+    all of them correctly (distinct prompts/seeds per request)."""
+    import concurrent.futures as cf
+
+    def call(i):
+        return _post(server_port, {"prompt": f"stone {i}", "steps": 2,
+                                   "seed": i, "guidance_scale": 5.0 + i})
+
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(call, range(4)))
+    for code, resp in results:
+        assert code == 200, resp
+        img = decode_png_rgb8(base64.b64decode(resp["images"][0]))
+        assert img.shape == (32, 32, 3)
+    # distinct seeds -> distinct images
+    imgs = {r[1]["images"][0] for r in results}
+    assert len(imgs) == 4
