@@ -17,7 +17,7 @@ conv out. Activations are NHWC.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from sdtpu.ops import (
     silu,
     timestep_embedding,
 )
-from sdtpu.ops.conv import nearest_upsample_2x, upsample2x_conv
+from sdtpu.ops.conv import upsample2x_conv
 from sdtpu.ops.groupnorm import group_norm_silu_op
 
 
@@ -82,7 +82,6 @@ def build_output_specs(cfg: UNetConfig) -> Tuple[List[BlockSpec], List[int]]:
     skip: List[int] = [s.c_out for s in build_input_specs(cfg)]
     specs: List[BlockSpec] = []
     rt = r = rtu = ru = 0
-    names_pending: List[Tuple[str, int]] = []
     ch = skip[-1]
     for level in reversed(range(len(cfg.channel_mult))):
         mult = cfg.channel_mult[level]

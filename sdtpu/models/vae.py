@@ -21,7 +21,7 @@ from sdtpu.config import AutoencoderConfig
 from sdtpu.models.initializers import init_conv2d, init_norm
 from sdtpu.ops import conv2d, group_norm, qkv_attention, silu
 from sdtpu.ops.groupnorm import group_norm_silu_op
-from sdtpu.ops.conv import nearest_upsample_2x, upsample2x_conv
+from sdtpu.ops.conv import upsample2x_conv
 
 
 # ---------------------------------------------------------------- init
@@ -75,7 +75,6 @@ def init_autoencoder(key, cfg: AutoencoderConfig, dtype=jnp.float32):
             blk["downsampler"] = {"conv": init_conv2d(kds, cout, cout, 3, dtype=dtype)}
         enc_blocks.append(blk)
     c0 = cfg.encoder_channels[0][1]
-    c_last = cfg.encoder_channels[0][0]  # 128? no: see below
     c_final = cfg.encoder_channels[-1][1]
     z = 2 * cfg.latent_channels if cfg.double_z else cfg.latent_channels
     encoder = {

@@ -17,7 +17,7 @@ exists only because burn lacked asymmetric padding.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax.numpy as jnp
 from jax import lax

@@ -17,7 +17,7 @@ Batch ("dp") sharding applies to activations only.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ optional tp weight sharding), with XLA emitting the gradient psums.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
