@@ -131,3 +131,23 @@ def test_v2_head_derivation():
     assert cfg.heads_for(320) == 5
     assert cfg.heads_for(640) == 10
     assert cfg.heads_for(1280) == 20
+
+
+def test_v2_style_unet_runs():
+    """head_dim-derived heads (SD v2 style) + 1024-dim context end to end
+    on a tiny config."""
+    cfg = UNetConfig(
+        model_channels=32,
+        channel_mult=(1, 2),
+        attention_levels=(0,),
+        head_dim=16,  # -> 2 heads at 32ch, 4 at 64ch
+        context_dim=48,
+        time_embed_dim=128,
+        groupnorm_groups=8,
+    )
+    specs = build_input_specs(cfg)
+    assert [s.n_head for s in specs if s.transformer] == [2, 2]
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    out = unet_apply(params, jnp.zeros((1, 8, 8, 4)), jnp.asarray([5]),
+                     jnp.zeros((1, 7, 48)), cfg)
+    assert out.shape == (1, 8, 8, 4)
