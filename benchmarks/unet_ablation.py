@@ -18,20 +18,15 @@ jax.config.update("jax_compilation_cache_dir",
 
 
 def bench(fn, args, iters=8):
-    def run(args, n):
-        def body(c, _):
-            out = fn(*c)
-            c0 = c[0] + 0.0 * jnp.mean(out.astype(c[0].dtype))
-            return (c0,) + c[1:], None
-        c, _ = jax.lax.scan(body, args, None, length=n)
-        return jnp.sum(c[0].astype(jnp.float32))
-
-    run1 = jax.jit(functools.partial(run, n=1))
-    runN = jax.jit(functools.partial(run, n=iters))
-    np.asarray(run1(args)); np.asarray(runN(args))
-    t0 = time.perf_counter(); np.asarray(run1(args)); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); np.asarray(runN(args)); tn = time.perf_counter() - t0
-    return (tn - t1) / (iters - 1) * 1000
+    """Plain-jit timing with a scalar-fetch sync per call (the remote
+    compile helper dies on scan-wrapped full-UNet graphs). Includes a
+    fixed per-dispatch tunnel overhead, identical across variants."""
+    f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    np.asarray(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(f(*args))
+    return (time.perf_counter() - t0) / iters * 1000
 
 
 def main():

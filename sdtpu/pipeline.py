@@ -336,3 +336,83 @@ class StableDiffusion:
             uncond_valid=unvalid if self.pad_context else None,
         )
         return self.latent_to_image(latent)
+
+    def inpaint(
+        self,
+        tokenizer: SimpleTokenizer,
+        prompt: str,
+        image,
+        mask,
+        guidance_scale: float = 7.5,
+        n_steps: int = 20,
+        key: Optional[jax.Array] = None,
+        negative_prompt: str = "",
+    ) -> np.ndarray:
+        """Masked inpainting (RePaint-style for a standard SD model):
+        after every DDIM step, the known region is re-imposed by
+        q-sampling the original latent to the step's noise level.
+
+        image: [B, H, W, 3] in [-1,1]; mask: [B, H, W, 1] (or [B,H,W])
+        with 1 = REGENERATE, 0 = keep. Not in the reference — built on
+        its encode/decode primitives.
+        """
+        from sdtpu.diffusion.ddim import ddim_alphas
+
+        ctx, valid = self.context(tokenizer, prompt)
+        unctx, unvalid = self.context(tokenizer, negative_prompt)
+
+        mask = jnp.asarray(mask, jnp.float32)
+        if mask.ndim == 3:
+            mask = mask[..., None]
+        f = self.config.vae_factor
+        b, hh, ww, _ = mask.shape
+        # latent-resolution mask: a latent cell is regenerated if ANY of
+        # its pixels are masked
+        m_lat = mask.reshape(b, hh // f, f, ww // f, f, 1).max(axis=(2, 4))
+
+        z0 = self.encode_image(image).astype(jnp.float32) * self.config.latent_scale
+
+        if key is None:
+            key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2 ** 63))
+        k_init, k_noise = jax.random.split(key)
+        alphas = self.params["alphas_cumprod"].astype(jnp.float32)
+        timesteps, step_size = ddim_schedule(self.n_train_steps, n_steps)
+        a_t, a_prev = ddim_alphas(alphas, timesteps, step_size)
+        ts = jnp.asarray(timesteps, jnp.int32)
+
+        uncond_b = jnp.broadcast_to(unctx, (b,) + unctx.shape[1:])
+        unvalid_b = jnp.broadcast_to(unvalid, (b,) + unvalid.shape[1:])
+        if ctx.shape[0] == 1 and b > 1:
+            ctx = jnp.tile(ctx, (b, 1, 1))
+            valid = jnp.tile(valid, (b, 1))
+        ctx2 = jnp.concatenate([uncond_b, ctx], axis=0)
+        valid2 = jnp.concatenate([unvalid_b, valid], axis=0)
+        gs = jnp.asarray(guidance_scale, jnp.float32)
+
+        params = self.params
+        cfg = self.config
+
+        @jax.jit
+        def run(latent0, z0, m_lat, noise_key):
+            def body(carry, step):
+                lat, nk = carry
+                t, at, ap = step
+                x2 = jnp.concatenate([lat, lat], axis=0).astype(self.compute_dtype)
+                eps2 = unet_apply(params["unet"], x2, t, ctx2, cfg.unet,
+                                  ctx_valid=valid2).astype(jnp.float32)
+                e_un, e_c = eps2[:b], eps2[b:]
+                eps = e_un + (e_c - e_un) * gs
+                lat = ddim_step(lat, eps, at, ap)
+                # re-impose the known region at the NEXT noise level
+                nk, sub = jax.random.split(nk)
+                noise = jax.random.normal(sub, z0.shape, jnp.float32)
+                known = jnp.sqrt(ap) * z0 + jnp.sqrt(1.0 - ap) * noise
+                lat = m_lat * lat + (1.0 - m_lat) * known
+                return (lat, nk), None
+
+            (lat, _), _ = jax.lax.scan(body, (latent0, noise_key), (ts, a_t, a_prev))
+            return lat
+
+        latent0 = jax.random.normal(k_init, z0.shape, jnp.float32)
+        latent = run(latent0, z0, m_lat, k_noise)
+        return self.latent_to_image(latent)
