@@ -70,7 +70,9 @@ def test_dp_sampling_matches_single_device():
         shard_batch(ctx, mesh), unctx, 7.5, 2,
         initial_latent=shard_batch(latent0, mesh),
         ctx_valid=shard_batch(valid, mesh), uncond_valid=unvalid)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # values are O(40) after 2 steps from pure noise; rtol matters here
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=2e-4)
 
 
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
