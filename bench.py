@@ -44,6 +44,7 @@ def main():
     from sdtpu.tokenizer import SimpleTokenizer
 
     batch = int(os.environ.get("SDTPU_BENCH_BATCH", "4"))
+    sampler = os.environ.get("SDTPU_BENCH_SAMPLER", "ddim")
     n_steps = int(os.environ.get("SDTPU_BENCH_STEPS", "20"))
     iters = int(os.environ.get("SDTPU_BENCH_ITERS", "3"))
 
@@ -77,7 +78,8 @@ def main():
     # reported separately as transfer_ms and excluded from the headline.
     def run_latent():
         lat = sd.sample_latent(ctx, unctx, 7.5, n_steps, initial_latent=latent0,
-                               ctx_valid=valid, uncond_valid=unvalid)
+                               ctx_valid=valid, uncond_valid=unvalid,
+                               sampler=sampler)
         np.asarray(jnp.sum(lat))  # scalar sync
         return lat
 
@@ -123,8 +125,8 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": "images/sec/chip, SDv1-4 512x512 bf16 batched-CFG DDIM "
-                  f"{n_steps} steps batch {batch}",
+        "metric": f"images/sec/chip, SDv1-4 512x512 bf16 batched-CFG "
+                  f"{sampler.upper()} {n_steps} steps batch {batch}",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
