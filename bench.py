@@ -132,6 +132,7 @@ def main():
         "vs_baseline": round(vs_baseline, 4),
         "unet_step_ms": round(unet_step_ms, 2),
         "decode_ms": round(decode_s * 1000.0, 2),
+        "transfer_ms": round(transfer_s * 1000.0, 2),
         "compile_s": round(compile_s + decode_compile_s, 2),
         "init_s": round(init_s, 2),
         "device": str(jax.devices()[0]),
