@@ -106,7 +106,9 @@ def main():
         np.asarray(decode_dev(sd.params, lat))
     decode_s = (time.perf_counter() - t0) / iters
 
-    # image readback over the tunnel, reported separately
+    # image readback over the tunnel, reported separately (warm the
+    # full-image decode jit first so its compile isn't counted)
+    img = sd.latent_to_image(lat)
     t0 = time.perf_counter()
     img = sd.latent_to_image(lat)
     transfer_s = max(0.0, time.perf_counter() - t0 - decode_s)
