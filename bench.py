@@ -10,10 +10,17 @@ available accelerator, and prints ONE JSON line:
      "vs_baseline": ..., ...extras}
 
 The reference publishes no numbers (SURVEY.md §6), so vs_baseline is
-reported against the first recorded sdtpu result when available
-(BENCH_r1.json), else 1.0.
+reported against the earliest recorded sdtpu round (BENCH_r*.json glob),
+else 1.0.
+
+Multi-chip (BASELINE config 4): when more than one device is visible, the
+batch is sharded over a ("dp",) mesh (default batch = 4 per chip) and the
+headline value is per-chip images/sec. Env knobs: SDTPU_BENCH_BATCH,
+SDTPU_BENCH_SAMPLER, SDTPU_BENCH_STEPS, SDTPU_BENCH_ITERS,
+SDTPU_BENCH_PRESET (sd-tiny for CPU smoke tests).
 """
 
+import glob
 import json
 import os
 import sys
@@ -33,9 +40,25 @@ except Exception:
     pass
 
 
+def _baseline_value():
+    """Earliest recorded round's headline value (BENCH_r01.json, ...)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            # driver wraps the bench line under "parsed"
+            rec = prev.get("parsed", prev)
+            if rec.get("value"):
+                return float(rec["value"]), os.path.basename(path)
+        except Exception:
+            continue
+    return None, None
+
+
 def main():
     import sdtpu.ops.dispatch as dispatch  # noqa: F401  (kernel selection)
-    from sdtpu.config import SD_V1_4
+    from sdtpu.config import PRESETS, SD_V1_4
     from sdtpu.diffusion import scaled_linear_alphas_cumprod
     from sdtpu.models.clip import init_clip
     from sdtpu.models.unet import init_unet
@@ -43,12 +66,14 @@ def main():
     from sdtpu.pipeline import StableDiffusion
     from sdtpu.tokenizer import SimpleTokenizer
 
-    batch = int(os.environ.get("SDTPU_BENCH_BATCH", "4"))
+    n_dev = len(jax.devices())
+    batch = int(os.environ.get("SDTPU_BENCH_BATCH", str(4 * n_dev)))
     sampler = os.environ.get("SDTPU_BENCH_SAMPLER", "ddim")
     n_steps = int(os.environ.get("SDTPU_BENCH_STEPS", "20"))
     iters = int(os.environ.get("SDTPU_BENCH_ITERS", "3"))
+    preset = os.environ.get("SDTPU_BENCH_PRESET", "sd-v1-4")
 
-    cfg = SD_V1_4
+    cfg = PRESETS.get(preset, SD_V1_4)
     dtype = jnp.bfloat16
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     t0 = time.perf_counter()
@@ -62,6 +87,14 @@ def main():
     jax.block_until_ready(params["unet"])
     init_s = time.perf_counter() - t0
 
+    mesh = None
+    if n_dev > 1:  # BASELINE config 4: dp over every visible chip
+        from sdtpu.parallel import make_mesh, shard_batch, shard_params
+
+        assert batch % n_dev == 0, (batch, n_dev)
+        mesh = make_mesh(dp=n_dev, tp=1)
+        params = shard_params(params, mesh)
+
     sd = StableDiffusion(params, cfg, compute_dtype=dtype)
     tok = SimpleTokenizer()
     ctx, valid = sd.context(tok, "An ancient mossy stone.")
@@ -70,6 +103,10 @@ def main():
     valid = jnp.tile(valid, (batch, 1))
     latent0 = jax.random.normal(jax.random.PRNGKey(7),
                                 (batch, cfg.latent_size, cfg.latent_size, 4), jnp.float32)
+    if mesh is not None:
+        ctx = shard_batch(ctx, mesh)
+        valid = shard_batch(valid, mesh)
+        latent0 = shard_batch(latent0, mesh)
 
     # NB: on the tunneled TPU, block_until_ready is not a reliable sync;
     # a scalar fetch is. Device work is timed with scalar-fetch syncs; the
@@ -114,29 +151,28 @@ def main():
     transfer_s = max(0.0, time.perf_counter() - t0 - decode_s)
 
     total_s = denoise_s + decode_s
-    images_per_sec = batch / total_s
+    images_per_sec = batch / total_s / n_dev
     unet_step_ms = denoise_s / n_steps * 1000.0
 
     vs_baseline = 1.0
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_r1.json")) as f:
-            prev = json.load(f)
-        if prev.get("value"):
-            vs_baseline = images_per_sec / float(prev["value"])
-    except Exception:
-        pass
+    base, base_file = _baseline_value()
+    if base:
+        vs_baseline = images_per_sec / base
 
+    mesh_tag = f" dp={n_dev}" if mesh is not None else ""
     print(json.dumps({
         "metric": f"images/sec/chip, SDv1-4 512x512 bf16 batched-CFG "
-                  f"{sampler.upper()} {n_steps} steps batch {batch}",
+                  f"{sampler.upper()} {n_steps} steps batch {batch}{mesh_tag}",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "baseline_file": base_file,
         "unet_step_ms": round(unet_step_ms, 2),
         "decode_ms": round(decode_s * 1000.0, 2),
         "transfer_ms": round(transfer_s * 1000.0, 2),
         "compile_s": round(compile_s + decode_compile_s, 2),
         "init_s": round(init_s, 2),
+        "n_devices": n_dev,
         "device": str(jax.devices()[0]),
     }))
 

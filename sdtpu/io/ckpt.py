@@ -320,7 +320,19 @@ def load_torch_ckpt(path: str, cfg: StableDiffusionConfig = SD_V1_4) -> dict:
     """Read a CompVis .ckpt with torch (CPU) and convert."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Old pickled checkpoints need full unpickling — that executes
+        # arbitrary code from the file, so only do it after warning.
+        import warnings
+
+        warnings.warn(
+            f"{path} is not loadable with weights_only=True; falling back "
+            "to full unpickling — only convert checkpoints you trust.",
+            stacklevel=2,
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     sd = {k: v.float().numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return convert_state_dict(sd, cfg)

@@ -85,6 +85,8 @@ def load_native(path: str):
             node = node.setdefault(p, {})
         node[parts[-1]] = v
     if "n_steps" in params:
-        params["n_steps"] = int(params["n_steps"])
+        import numpy as _np
+
+        params["n_steps"] = int(_np.asarray(params["n_steps"]).reshape(-1)[0])
     config = PRESETS.get(meta.get("config", ""), SD_V1_4)
     return params, config

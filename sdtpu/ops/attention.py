@@ -68,7 +68,6 @@ def qkv_attention(
             from sdtpu.ops.flash_attention import flash_qkv_attention
 
             return flash_qkv_attention(q, k, v, n_head, key_valid=key_valid)
-    d_head = d // n_head
     scale = (d / n_head) ** -0.25
 
     q = (q * scale).reshape(b, sq, n_head, d_head).transpose(0, 2, 1, 3)

@@ -33,7 +33,9 @@ def linear(params, x):
     y = y.astype(x.dtype)
     b = params.get("b")
     if b is not None:
-        y = y + b
+        # bias in the activation dtype: an f32 bias (checkpoint-loaded
+        # params) must not promote a bf16 compute path back to f32
+        y = y + b.astype(y.dtype)
     return y
 
 
@@ -61,7 +63,7 @@ def conv2d(params, x, stride: int = 1, padding: PadT = 0):
     )
     b = params.get("b")
     if b is not None:
-        y = y + b
+        y = y + b.astype(y.dtype)
     return y
 
 
@@ -121,5 +123,5 @@ def upsample2x_conv(params, x):
     y = y.reshape(b, 2 * h, 2 * wd, cout)
     bias = params.get("b")
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y

@@ -29,4 +29,7 @@ def use_pallas() -> bool:
         return True
     if mode == "xla":
         return False
-    return jax.default_backend() not in ("cpu", "gpu")
+    # Explicit allowlist: the Pallas kernels here are Mosaic/TPU programs;
+    # an unknown future backend must opt in via SDTPU_KERNELS=pallas
+    # rather than being assumed capable.
+    return jax.default_backend() == "tpu"

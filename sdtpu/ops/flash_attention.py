@@ -189,9 +189,18 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
     fullk_bq = min(bq, 1024)
     while sq % fullk_bq:
         fullk_bq //= 2
-    fullk_vmem = (2 * sk * d_pad * qp.dtype.itemsize  # K and V
-                  + fullk_bq * sk * 6                 # scores f32 + p bf16
-                  + 2 * fullk_bq * d_pad * qp.dtype.itemsize)
+
+    def _fullk_vmem(bq_):
+        return (2 * sk * d_pad * qp.dtype.itemsize  # K and V
+                + bq_ * sk * 6                      # scores f32 + p bf16
+                + 2 * bq_ * d_pad * qp.dtype.itemsize)
+
+    # shrink the q block until the K/V + score tile estimate fits the
+    # 48MB budget (key-masked shapes must land here: the online kernel
+    # below has no bias input)
+    while _fullk_vmem(fullk_bq) >= 48 * 1024 * 1024 and fullk_bq > 128:
+        fullk_bq //= 2
+    fullk_vmem = _fullk_vmem(fullk_bq)
     if (nk > 1 or key_bias is not None) and fullk_vmem < 48 * 1024 * 1024:
         grid = (bh, sq // fullk_bq)
         # transposed-output path for small head dims (see _fullk_ot_body)
@@ -252,6 +261,15 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
             return out[:, :d, :].transpose(0, 2, 1)
         return out[..., :d]
 
+    if key_bias is not None:
+        # The online-softmax kernel below has no bias input; silently
+        # attending to padded keys would be wrong. Callers with a key mask
+        # at VMEM-exceeding sizes must use the XLA masked path
+        # (sdtpu.ops.attention.qkv_attention with key_valid).
+        raise NotImplementedError(
+            "key_bias requires the full-K path; this shape "
+            f"(sk={sk}, d_pad={d_pad}, est. {fullk_vmem >> 20}MB VMEM) "
+            "exceeds its budget — use the XLA masked attention instead")
     grid = (bh, nq, nk)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, nk=nk),

@@ -218,3 +218,45 @@ def test_inpaint(sd, tok):
     # kept half tracks the roundtrip much more closely than the
     # regenerated half (random weights -> regenerated is ~noise)
     assert bottom_diff < top_diff, (bottom_diff, top_diff)
+
+
+def test_no_recompile_across_instances(sd, tok):
+    """Two StableDiffusion instances with equal config must share the
+    sampler's jit cache (it keys on config VALUES, not instance identity) —
+    serving with several pipeline objects must not retrace."""
+    import dataclasses
+
+    from sdtpu.pipeline import _sample_latent_impl
+
+    ctx, valid = sd.context(tok, "a cache test")
+    unctx, unvalid = sd.unconditional_context(tok)
+    lat0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4), jnp.float32)
+    sd.sample_latent(ctx, unctx, 7.5, 2, initial_latent=lat0,
+                     ctx_valid=valid, uncond_valid=unvalid)
+    size_before = _sample_latent_impl._cache_size()
+
+    # fresh params, fresh (but value-equal) config object
+    sd2 = StableDiffusion(tiny_params(seed=1), dataclasses.replace(TINY))
+    ctx2, valid2 = sd2.context(tok, "a cache test")
+    sd2.sample_latent(ctx2, unctx, 7.5, 2, initial_latent=lat0,
+                      ctx_valid=valid2, uncond_valid=unvalid)
+    assert _sample_latent_impl._cache_size() == size_before
+
+
+def test_long_prompt_keeps_eot(sd, tok):
+    """Truncation of >77-token prompts must keep EOT as the final token
+    (HF/diffusers convention)."""
+    long_prompt = " ".join(["mossy stone"] * 60)
+    ids_full = tok.encode_prompt(long_prompt)
+    assert len(ids_full) > 77
+    ctx, valid = sd.context(tok, long_prompt)
+    assert ctx.shape[1] == 77 and bool(valid.all())
+    # parity: manually truncated ids with EOT re-appended give same context
+    ids = ids_full[:76] + [ids_full[-1]]
+    import numpy as _np
+
+    from sdtpu.models.clip import clip_apply
+
+    ref = clip_apply(sd.params["clip"], jnp.asarray(_np.asarray(ids)[None]),
+                     sd.config.clip)
+    assert np.allclose(np.asarray(ctx), np.asarray(ref), atol=1e-5)
