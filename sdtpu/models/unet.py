@@ -232,6 +232,17 @@ def _mha_apply(p, x, context, n_head, key_valid=None):
     return linear(p["out"], qkv_attention(q, k, v, None, n_head, key_valid=key_valid))
 
 
+def _use_fused_attn(s: int, c: int, n_head: int) -> bool:
+    """Measured dispatch (benchmarks/fused_attn_micro.py, TPU v5e): the
+    fused LN+qkv+attention+out-proj kernel beats the unfused path at the
+    64^2 and 32^2 UNet maps (4.0 -> 3.1ms and ~2x at S=1024); at S<=256
+    the readings are launch-noise-dominated and XLA keeps them."""
+    from sdtpu.ops.dispatch import use_pallas
+
+    return (use_pallas() and s >= 1024 and s % 128 == 0
+            and (c // n_head) % 8 == 0)
+
+
 def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
     """SpatialTransformer (unet/mod.rs:462-480) + inner TransformerBlock
     (unet/mod.rs:522-527)."""
@@ -241,13 +252,34 @@ def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
     x = conv2d(p["proj_in"], x, padding=0).reshape(b, h * w, c)
 
     t = p["transformer"]
-    x = x + _mha_apply(t["attn1"], layer_norm(x, t["norm1"]["g"], t["norm1"]["b"], cfg.ln_eps), None, n_head)
+    if _use_fused_attn(h * w, c, n_head):
+        from sdtpu.ops.fused_transformer import fused_self_attention
+
+        a1 = t["attn1"]
+        x = fused_self_attention(
+            x, t["norm1"]["g"], t["norm1"]["b"],
+            a1["query"]["w"], a1["key"]["w"], a1["value"]["w"],
+            a1["out"]["w"], a1["out"]["b"], n_head, cfg.ln_eps)
+    else:
+        x = x + _mha_apply(t["attn1"], layer_norm(x, t["norm1"]["g"], t["norm1"]["b"], cfg.ln_eps), None, n_head)
     x = x + _mha_apply(t["attn2"], layer_norm(x, t["norm2"]["g"], t["norm2"]["b"], cfg.ln_eps),
                        context, n_head, key_valid=ctx_valid)
-    hN = layer_norm(x, t["norm3"]["g"], t["norm3"]["b"], cfg.ln_eps)
-    proj = linear(t["mlp"]["geglu"]["proj"], hN)
-    val, gate = jnp.split(proj, 2, axis=-1)
-    x = x + linear(t["mlp"]["lin"], geglu(val, gate))
+    # Measured (TPU v5e, benchmarks/fused_attn_micro.py session logs in
+    # BENCHLOG.md): XLA runs the 64^2 MLP at its matmul roofline already
+    # (0.52ms) and the fused kernel LOSES there (0.61ms+); at S=1024 the
+    # fused kernel wins (0.31-0.35 vs 0.51ms). Dispatch accordingly.
+    if _use_fused_attn(h * w, c, n_head) and h * w < 2048:
+        from sdtpu.ops.fused_mlp import fused_geglu_mlp
+
+        x = fused_geglu_mlp(
+            x, t["norm3"]["g"], t["norm3"]["b"],
+            t["mlp"]["geglu"]["proj"]["w"], t["mlp"]["geglu"]["proj"]["b"],
+            t["mlp"]["lin"]["w"], t["mlp"]["lin"]["b"], cfg.ln_eps)
+    else:
+        hN = layer_norm(x, t["norm3"]["g"], t["norm3"]["b"], cfg.ln_eps)
+        proj = linear(t["mlp"]["geglu"]["proj"], hN)
+        val, gate = jnp.split(proj, 2, axis=-1)
+        x = x + linear(t["mlp"]["lin"], geglu(val, gate))
 
     x = x.reshape(b, h, w, c)
     return x_in + conv2d(p["proj_out"], x, padding=0)

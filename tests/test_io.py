@@ -327,3 +327,78 @@ def test_openclip_v2_text_tower_conversion():
     out = clip_apply(jax.tree_util.tree_map(jnp.asarray, clip), toks, cfg)
     assert out.shape == (1, 6, d)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mpk_roundtrip_sd_tiny(tmp_path):
+    """save_mpk -> load_mpk is the identity on a full SD_TINY tree, in
+    both tensor payload modes (reference convert emits an .mpk,
+    src/bin/convert/main.rs:32-37; the reader is ground-truthed against
+    our writer)."""
+    import jax
+
+    from sdtpu.config import SD_TINY
+    from sdtpu.diffusion import scaled_linear_alphas_cumprod
+    from sdtpu.io.mpk import load_mpk, save_mpk
+    from sdtpu.models.clip import init_clip
+    from sdtpu.models.unet import init_unet
+    from sdtpu.models.vae import init_autoencoder
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "clip": init_clip(k1, SD_TINY.clip),
+        "unet": init_unet(k2, SD_TINY.unet),
+        "autoencoder": init_autoencoder(k3, SD_TINY.vae),
+        "alphas_cumprod": scaled_linear_alphas_cumprod(100),
+        "n_steps": 100,
+    }
+    for mode in ("bytes", "value"):
+        path = str(tmp_path / f"tiny_{mode}.mpk")
+        save_mpk(params, path, mode=mode)
+        out = load_mpk(path)
+        assert out["n_steps"] == 100
+        flat_in = jax.tree_util.tree_leaves_with_path(params)
+        flat_out = jax.tree_util.tree_leaves_with_path(out)
+        assert len(flat_in) == len(flat_out)
+        for (pa, a), (pb, b) in zip(sorted(flat_in, key=lambda t: str(t[0])),
+                                    sorted(flat_out, key=lambda t: str(t[0]))):
+            assert str(pa) == str(pb)
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b, np.float32), err_msg=str(pa))
+
+
+def test_mpk_strict_rejects_unknown_records(tmp_path):
+    """An unrecognized record shape must raise, not vanish (a silent drop
+    against real Burn bytes would corrupt the model undetectably)."""
+    import msgpack
+    import pytest
+
+    from sdtpu.io.mpk import MpkFormatError, load_mpk
+
+    record = {"item": {"diffusion": {"mystery_module": {"something": "weird"}}}}
+    path = str(tmp_path / "bad.mpk")
+    with open(path, "wb") as f:
+        f.write(msgpack.packb(record, use_bin_type=True))
+    with pytest.raises(MpkFormatError, match="mystery_module/something"):
+        load_mpk(path)
+
+
+def test_mpk_fixture():
+    """Checked-in binary fixture decodes to known values (guards against
+    accidental reader-format drift)."""
+    import os
+
+    from sdtpu.io.mpk import load_mpk
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "tiny.mpk")
+    p = load_mpk(path)
+    assert p["n_steps"] == 50
+    np.testing.assert_allclose(p["alphas_cumprod"],
+                               np.linspace(1.0, 0.1, 10, dtype=np.float32))
+    lin = p["unet"]["lin1_time_embed"]
+    np.testing.assert_array_equal(lin["w"], np.arange(12, dtype=np.float32).reshape(3, 4))
+    np.testing.assert_array_equal(lin["b"], np.zeros(4, np.float32))
+    conv = p["unet"]["conv_out"]
+    assert conv["w"].shape == (3, 3, 2, 4)  # HWIO from OIHW [4,2,3,3]
+    norm = p["unet"]["norm_out"]
+    assert set(norm) == {"g", "b"}
+    assert p["clip"]["blocks"][0]["attn"]["query"]["w"].shape == (4, 4)
