@@ -233,13 +233,16 @@ def _mha_apply(p, x, context, n_head, key_valid=None):
 
 
 def _use_fused_attn(s: int, c: int, n_head: int) -> bool:
-    """Measured dispatch (benchmarks/fused_attn_micro.py, TPU v5e): the
-    fused LN+qkv+attention+out-proj kernel beats the unfused path at the
-    64^2 and 32^2 UNet maps (4.0 -> 3.1ms and ~2x at S=1024); at S<=256
-    the readings are launch-noise-dominated and XLA keeps them."""
+    """Measured dispatch (benchmarks/fused_attn_micro.py +
+    longctx_micro.py, TPU v5e): the fused LN+qkv+attention+out-proj
+    kernel beats the unfused path from the 16^2 to the 64^2 UNet maps
+    (4.0 -> 3.1ms at S=4096); ABOVE 4096 tokens (1024px class) the
+    online-softmax flash composite wins (14.8 vs 18.0ms at S=16384), so
+    the fused kernel caps at S=4096 and the unfused path's flash
+    dispatch takes over."""
     from sdtpu.ops.dispatch import use_pallas
 
-    return (use_pallas() and s >= 1024 and s % 128 == 0
+    return (use_pallas() and 256 <= s <= 4096 and s % 128 == 0
             and (c // n_head) % 8 == 0)
 
 
@@ -262,6 +265,10 @@ def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
             a1["out"]["w"], a1["out"]["b"], n_head, cfg.ln_eps)
     else:
         x = x + _mha_apply(t["attn1"], layer_norm(x, t["norm1"]["g"], t["norm1"]["b"], cfg.ln_eps), None, n_head)
+    # Cross-attention stays on XLA: the fused sublayer kernel
+    # (ops/fused_cross_attention.py) measured SLOWER end-to-end
+    # (58.9 vs 56.8ms UNet step, BENCHLOG r2) — XLA already fuses the
+    # 77-key composite well. Kernel kept for non-SD shapes.
     x = x + _mha_apply(t["attn2"], layer_norm(x, t["norm2"]["g"], t["norm2"]["b"], cfg.ln_eps),
                        context, n_head, key_valid=ctx_valid)
     # Measured (TPU v5e, benchmarks/fused_attn_micro.py session logs in

@@ -197,11 +197,19 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
 
     # shrink the q block until the K/V + score tile estimate fits the
     # 48MB budget (key-masked shapes must land here: the online kernel
-    # below has no bias input)
+    # below has no bias input). Measured (TPU v5e, benchmarks/
+    # longctx_micro.py): unmasked, a SHRUNK full-K loses to the online
+    # kernel (s=8192: 4.6 vs 4.2ms; s=16384: 17.7 vs 14.8ms, where online
+    # is 1.91x XLA), so shrinking is only used when the mask requires it.
+    shrunk = False
     while _fullk_vmem(fullk_bq) >= 48 * 1024 * 1024 and fullk_bq > 128:
         fullk_bq //= 2
+        shrunk = True
     fullk_vmem = _fullk_vmem(fullk_bq)
-    if (nk > 1 or key_bias is not None) and fullk_vmem < 48 * 1024 * 1024:
+    take_fullk = (nk > 1 or key_bias is not None) \
+        and fullk_vmem < 48 * 1024 * 1024 \
+        and (key_bias is not None or not shrunk)
+    if take_fullk:
         grid = (bh, sq // fullk_bq)
         # transposed-output path for small head dims (see _fullk_ot_body)
         use_ot = d <= 64
@@ -288,6 +296,9 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Mosaic's default scoped limit is 16MB; the 512x1024 blocks +
+            # scratch just tip over it at sk>=16384 (16.06MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * sq * sk * d_pad * 2,

@@ -35,29 +35,54 @@ class _State:
 STATE = _State()
 
 
+class Overloaded(RuntimeError):
+    """Request queue is full — callers should get a 503."""
+
+
+class RequestTimeout(RuntimeError):
+    """Request didn't complete within the deadline — callers get a 504."""
+
+
 class Batcher:
     """Dynamic micro-batching: concurrent /generate requests that share
     (n_steps, sampler) are fused into one device batch (padded to a
     power of two so the jit cache stays small). Per-item guidance scales
-    and negative prompts are supported; seeds stay per-item."""
+    and negative prompts are supported; seeds stay per-item.
 
-    def __init__(self, sd, tokenizer, max_batch: int = 8, window_ms: float = 15.0):
+    Overload behaviour: at most `max_queue` requests may be waiting; past
+    that, submit() raises Overloaded immediately (HTTP 503) instead of
+    growing an unbounded backlog. Each request also carries a deadline
+    (`timeout_s`) — if the device can't get to it in time the caller gets
+    RequestTimeout (HTTP 504) and the worker discards the abandoned slot.
+    """
+
+    def __init__(self, sd, tokenizer, max_batch: int = 8, window_ms: float = 15.0,
+                 max_queue: int = 32, timeout_s: float = 120.0):
         import queue
 
         self.sd = sd
         self.tokenizer = tokenizer
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        self.max_queue = max_queue
+        self.timeout_s = timeout_s
         self.queue: "queue.Queue" = queue.Queue()
         self._held = []  # items deferred because their key mismatched
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
-    def submit(self, prompt, steps, scale, seed, n_images, negative):
+    def submit(self, prompt, steps, scale, seed, n_images, negative,
+               sampler: str = "ddim"):
+        if self.queue.qsize() + len(self._held) >= self.max_queue:
+            raise Overloaded(
+                f"queue full ({self.max_queue} requests waiting)")
         ev = threading.Event()
-        slot = {}
-        self.queue.put((prompt, steps, scale, seed, n_images, negative, ev, slot))
-        ev.wait()
+        slot = {"abandoned": False}
+        self.queue.put((prompt, steps, scale, seed, n_images, negative,
+                        sampler, ev, slot))
+        if not ev.wait(self.timeout_s):
+            slot["abandoned"] = True  # worker will skip/discard the result
+            raise RequestTimeout(f"no capacity within {self.timeout_s:.0f}s")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["images"]
@@ -72,7 +97,7 @@ class Batcher:
         if not items:
             items.append(self.queue.get())
         deadline = time.monotonic() + self.window_s
-        key = (items[0][1],)  # batch key: n_steps
+        key = (items[0][1], items[0][6])  # batch key: (n_steps, sampler)
         total = sum(it[4] for it in items)
         while total < self.max_batch:
             timeout = deadline - time.monotonic()
@@ -82,13 +107,14 @@ class Batcher:
                 it = self.queue.get(timeout=timeout)
             except queue.Empty:
                 break
-            if (it[1],) == key and total + it[4] <= self.max_batch:
+            if (it[1], it[6]) == key and total + it[4] <= self.max_batch:
                 items.append(it)
                 total += it[4]
             else:
                 self._held.append(it)
                 break
-        return items
+        # drop requests whose caller already timed out
+        return [it for it in items if not it[-1]["abandoned"]]
 
     def _worker(self):
         import jax
@@ -97,6 +123,8 @@ class Batcher:
 
         while True:
             items = self._collect()
+            if not items:  # every waiter already timed out
+                continue
             try:
                 self._run_batch(items, jax, jnp, np)
             except Exception as e:  # pragma: no cover - defensive
@@ -106,10 +134,10 @@ class Batcher:
 
     def _run_batch(self, items, jax, jnp, np):
         sd, tok = self.sd, self.tokenizer
-        steps = items[0][1]
+        steps, sampler = items[0][1], items[0][6]
         ctxs, valids, unctxs, unvalids, scales, latents = [], [], [], [], [], []
         counts = []
-        for prompt, _steps, scale, seed, n_images, negative, _ev, _slot in items:
+        for prompt, _steps, scale, seed, n_images, negative, _sampler, _ev, _slot in items:
             ctx, valid = sd.context(tok, prompt)
             unctx, unvalid = sd.context(tok, negative)
             key = jax.random.PRNGKey(seed if seed is not None
@@ -142,22 +170,24 @@ class Batcher:
             initial_latent=jnp.concatenate(latents, axis=0),
             ctx_valid=jnp.stack(valids) if sd.pad_context else None,
             uncond_valid=jnp.stack(unvalids) if sd.pad_context else None,
+            sampler=sampler,
         )
 
         i = 0
-        for (_p, _s, _sc, _seed, n_images, _neg, ev, slot), n in zip(items, counts):
+        for (_p, _s, _sc, _seed, n_images, _neg, _sam, ev, slot), n in zip(items, counts):
             slot["images"] = np.asarray(images[i : i + n])
             i += n
             ev.set()
 
 
-def _generate(prompt, steps, scale, seed, batch, negative):
+def _generate(prompt, steps, scale, seed, batch, negative, sampler="ddim"):
     import numpy as np
 
     from sdtpu.utils.image import encode_png_rgb8
 
     t0 = time.perf_counter()
-    imgs = STATE.batcher.submit(prompt, steps, scale, seed, batch, negative)
+    imgs = STATE.batcher.submit(prompt, steps, scale, seed, batch, negative,
+                                sampler)
     dt = time.perf_counter() - t0
     pngs = [base64.b64encode(encode_png_rgb8(np.asarray(im))).decode()
             for im in imgs]
@@ -194,15 +224,22 @@ class Handler(BaseHTTPRequestHandler):
             seed = req.get("seed")
             batch = int(req.get("n_images", 1))
             negative = req.get("negative_prompt", "")
+            sampler = req.get("sampler", "ddim")
             if not (1 <= steps <= 1000) or not (1 <= batch <= 16):
                 raise ValueError("steps in [1,1000], n_images in [1,16]")
+            if sampler not in ("ddim", "dpmpp"):
+                raise ValueError("sampler must be ddim|dpmpp")
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e}"})
             return
         try:
             self._send(200, _generate(prompt, steps, scale,
                                       None if seed is None else int(seed),
-                                      batch, negative))
+                                      batch, negative, sampler))
+        except Overloaded as e:
+            self._send(503, {"error": str(e)})
+        except RequestTimeout as e:
+            self._send(504, {"error": str(e)})
         except Exception as e:  # pragma: no cover - defensive
             self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -212,12 +249,14 @@ class Handler(BaseHTTPRequestHandler):
 
 def make_server(sd, tokenizer, port: int = 8000, warmup: bool = True,
                 default_steps: int = 20, max_batch: int = 8,
-                batch_window_ms: float = 15.0):
+                batch_window_ms: float = 15.0, max_queue: int = 32,
+                timeout_s: float = 120.0):
     STATE.sd = sd
     STATE.tokenizer = tokenizer
     STATE.default_steps = default_steps
     STATE.batcher = Batcher(sd, tokenizer, max_batch=max_batch,
-                            window_ms=batch_window_ms)
+                            window_ms=batch_window_ms, max_queue=max_queue,
+                            timeout_s=timeout_s)
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     if warmup:
         _generate("warmup", default_steps, 7.5, 0, 1, "")

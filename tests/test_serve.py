@@ -86,3 +86,72 @@ def test_concurrent_requests_batch(server_port):
     # distinct seeds -> distinct images
     imgs = {r[1]["images"][0] for r in results}
     assert len(imgs) == 4
+
+
+def test_mixed_sampler_concurrency(server_port):
+    """ddim and dpmpp requests in flight together must not be fused into
+    one batch (key = (steps, sampler)) and must both succeed."""
+    results = {}
+
+    def go(name, payload):
+        results[name] = _post(server_port, payload)
+
+    threads = [
+        threading.Thread(target=go, args=("ddim", {"prompt": "a", "steps": 2,
+                                                   "seed": 1, "sampler": "ddim"})),
+        threading.Thread(target=go, args=("dpmpp", {"prompt": "a", "steps": 2,
+                                                    "seed": 1, "sampler": "dpmpp"})),
+        threading.Thread(target=go, args=("ddim3", {"prompt": "a", "steps": 3,
+                                                    "seed": 1})),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for name, (code, resp) in results.items():
+        assert code == 200, (name, resp)
+    # different samplers on the same seed/latent differ
+    assert results["ddim"][1]["images"][0] != results["dpmpp"][1]["images"][0]
+
+
+def test_bad_sampler_rejected(server_port):
+    code, resp = _post(server_port, {"prompt": "a", "sampler": "euler"})
+    assert code == 400
+    assert "sampler" in resp["error"]
+
+
+def test_queue_overflow_503():
+    from sdtpu.serve import Batcher, Overloaded
+
+    sd = StableDiffusion(tiny_params(), TINY)
+    b = Batcher(sd, SimpleTokenizer(), max_batch=1, window_ms=1.0, max_queue=1)
+    # saturate: one in-flight slow request plus a full queue
+    t = threading.Thread(target=lambda: b.submit("x", 2, 7.5, 0, 1, ""),
+                         daemon=True)
+    t.start()
+    import time as _time
+
+    deadline = _time.monotonic() + 10
+    raised = False
+    while _time.monotonic() < deadline and not raised:
+        try:
+            b.queue.put_nowait(("y", 2, 7.5, 0, 1, "", "ddim",
+                               threading.Event(), {"abandoned": True}))
+            if b.queue.qsize() >= b.max_queue:
+                try:
+                    b.submit("z", 2, 7.5, 0, 1, "")
+                except Overloaded:
+                    raised = True
+        except Exception:
+            break
+    assert raised
+    t.join(timeout=60)
+
+
+def test_request_timeout_504():
+    from sdtpu.serve import Batcher, RequestTimeout
+
+    sd = StableDiffusion(tiny_params(), TINY)
+    b = Batcher(sd, SimpleTokenizer(), timeout_s=0.0)
+    with pytest.raises(RequestTimeout):
+        b.submit("slow", 2, 7.5, 0, 1, "")
