@@ -246,6 +246,24 @@ def _use_fused_attn(s: int, c: int, n_head: int) -> bool:
             and (c // n_head) % 8 == 0)
 
 
+def _use_fused_xattn(s: int, c: int, n_head: int) -> bool:
+    """Precomputed-K/V fused cross-attention sublayer dispatch.
+
+    Default OFF: measured end-to-end on v5e (BENCHLOG r2), the kernel
+    LOSES ~2ms/UNet-step to XLA's 77-key composite (56.54 -> 58.62ms)
+    even with K/V hoisted out — same verdict as the K/V-recompute
+    variant. XLA fuses the small-key cross-attention chain well; the
+    kernel is kept for non-SD shapes (SDTPU_FUSED_XATTN=1 enables)."""
+    import os
+
+    from sdtpu.ops.dispatch import use_pallas
+
+    if os.environ.get("SDTPU_FUSED_XATTN", "0") in ("0", "false", ""):
+        return False
+    return (use_pallas() and 256 <= s <= 4096 and s % 128 == 0
+            and (c // n_head) % 8 == 0)
+
+
 def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
     """SpatialTransformer (unet/mod.rs:462-480) + inner TransformerBlock
     (unet/mod.rs:522-527)."""
@@ -265,12 +283,25 @@ def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
             a1["out"]["w"], a1["out"]["b"], n_head, cfg.ln_eps)
     else:
         x = x + _mha_apply(t["attn1"], layer_norm(x, t["norm1"]["g"], t["norm1"]["b"], cfg.ln_eps), None, n_head)
-    # Cross-attention stays on XLA: the fused sublayer kernel
-    # (ops/fused_cross_attention.py) measured SLOWER end-to-end
-    # (58.9 vs 56.8ms UNet step, BENCHLOG r2) — XLA already fuses the
-    # 77-key composite well. Kernel kept for non-SD shapes.
-    x = x + _mha_apply(t["attn2"], layer_norm(x, t["norm2"]["g"], t["norm2"]["b"], cfg.ln_eps),
-                       context, n_head, key_valid=ctx_valid)
+    # Cross-attention: the K/V-recompute fused kernel measured SLOWER
+    # end-to-end (58.9 vs 56.8ms UNet step, BENCHLOG r2) and stays off;
+    # the precomputed-K/V variant (fused_cross_attention_kv) removes the
+    # in-kernel small-matmul chain that caused that loss.
+    if _use_fused_xattn(h * w, c, n_head):
+        from sdtpu.ops.fused_cross_attention import fused_cross_attention_kv
+
+        a2 = t["attn2"]
+        kt = jnp.einsum("bsd,dc->bcs", context,
+                        a2["key"]["w"].astype(x.dtype))
+        vt = jnp.einsum("bsd,dc->bcs", context,
+                        a2["value"]["w"].astype(x.dtype))
+        x = fused_cross_attention_kv(
+            x, kt, vt, t["norm2"]["g"], t["norm2"]["b"],
+            a2["query"]["w"], a2["out"]["w"], a2["out"]["b"],
+            key_valid=ctx_valid, n_head=n_head, eps=cfg.ln_eps)
+    else:
+        x = x + _mha_apply(t["attn2"], layer_norm(x, t["norm2"]["g"], t["norm2"]["b"], cfg.ln_eps),
+                           context, n_head, key_valid=ctx_valid)
     # Measured (TPU v5e, benchmarks/fused_attn_micro.py session logs in
     # BENCHLOG.md): XLA runs the 64^2 MLP at its matmul roofline already
     # (0.52ms) and the fused kernel LOSES there (0.61ms+); at S=1024 the

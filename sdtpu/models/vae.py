@@ -118,14 +118,60 @@ def init_autoencoder(key, cfg: AutoencoderConfig, dtype=jnp.float32):
 
 # ---------------------------------------------------------------- apply
 
-def _resnet_apply(p, x, cfg):
+def _use_fused_resnet(x, cout: int) -> bool:
+    """Measured dispatch (benchmarks/conv_micro.py, v5e): XLA's conv3x3
+    lowering degrades on large-spatial/small-channel maps (69 TF/s at
+    512^2 x 128, 111 TF/s at 256^2 x 256), and the unfused ResnetBlock
+    pays ~13 HBM passes; the fused GN+SiLU+conv kernel chain
+    (ops/fused_conv.py) wins at every measured VAE shape: resnet ms
+    XLA->fused 15.45->6.39 (512^2x128), 9.80->3.46 (256^2x256),
+    5.06->4.29 (128^2x512), 1.61->1.10 (64^2x512).
+    SDTPU_FUSED_CONV_MIN_ROWS overrides the threshold (tests use it)."""
+    import os
+
+    from sdtpu.ops.dispatch import use_pallas
+
+    b, h, w, c = x.shape
+    min_rows = int(os.environ.get("SDTPU_FUSED_CONV_MIN_ROWS", str(1 << 12)))
+    return (use_pallas() and c % 128 == 0 and cout % 128 == 0
+            and h % 8 == 0 and h * w >= min_rows)
+
+
+def _resnet_apply(p, x, cfg, in_stats=None, emit_stats=False):
+    """ResnetBlock (autoencoder/mod.rs:513-529). in_stats: optional
+    [B, 2, C] per-channel (sum, sum^2) of x from the PREVIOUS fused
+    kernel — skips the GroupNorm stats read. When emit_stats, returns
+    (out, stats-of-out) with stats None on the unfused path; callers
+    thread them through the decoder (`decode_latent`)."""
+    cout = p["conv1"]["w"].shape[-1]
+    if _use_fused_resnet(x, cout):
+        from sdtpu.ops.fused_conv import (conv3x3_fused, gn_scale_bias,
+                                          stats_scale_bias)
+
+        rows = x.shape[1] * x.shape[2]
+        if in_stats is not None:
+            s1, o1 = stats_scale_bias(in_stats, rows, p["norm1"]["g"],
+                                      p["norm1"]["b"], cfg.groupnorm_groups,
+                                      cfg.groupnorm_eps)
+        else:
+            s1, o1 = gn_scale_bias(x, p["norm1"]["g"], p["norm1"]["b"],
+                                   cfg.groupnorm_groups, cfg.groupnorm_eps)
+        h1, st = conv3x3_fused(x, p["conv1"]["w"], p["conv1"]["b"], s1, o1,
+                               emit_stats=True)
+        s2, o2 = stats_scale_bias(st, rows, p["norm2"]["g"], p["norm2"]["b"],
+                                  cfg.groupnorm_groups, cfg.groupnorm_eps)
+        res = conv2d(p["nin_shortcut"], x, padding=0) if "nin_shortcut" in p else x
+        # conv3x3_fused returns (y, stats) when emit_stats else y
+        return conv3x3_fused(h1, p["conv2"]["w"], p["conv2"]["b"], s2, o2,
+                             residual=res, emit_stats=emit_stats)
     h = group_norm_silu_op(x, p["norm1"]["g"], p["norm1"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
     h = conv2d(p["conv1"], h, padding=1)
     h = group_norm_silu_op(h, p["norm2"]["g"], p["norm2"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
     h = conv2d(p["conv2"], h, padding=1)
     if "nin_shortcut" in p:
         x = conv2d(p["nin_shortcut"], x, padding=0)
-    return x + h
+    y = x + h
+    return (y, None) if emit_stats else y
 
 
 def _attn_apply(p, x, cfg):
@@ -140,10 +186,10 @@ def _attn_apply(p, x, cfg):
     return x + conv2d(p["proj_out"], o, padding=0)
 
 
-def _mid_apply(p, x, cfg):
+def _mid_apply(p, x, cfg, emit_stats=False):
     x = _resnet_apply(p["block_1"], x, cfg)
     x = _attn_apply(p["attn"], x, cfg)
-    return _resnet_apply(p["block_2"], x, cfg)
+    return _resnet_apply(p["block_2"], x, cfg, emit_stats=emit_stats)
 
 
 def encoder_apply(params, x, cfg: AutoencoderConfig):
@@ -171,17 +217,35 @@ def encode_image(params, x, cfg: AutoencoderConfig):
 
 
 def decode_latent(params, z, cfg: AutoencoderConfig):
-    """z: [B, h, w, latent] -> image [B, 8h, 8w, 3] in [-1, 1]."""
+    """z: [B, h, w, latent] -> image [B, 8h, 8w, 3] in [-1, 1].
+
+    On the fused-kernel path, every block emits the per-channel
+    (sum, sum^2) of its own f32 output and the next block's GroupNorm
+    consumes it — the statistics read of each GroupNorm rides the
+    previous kernel's write for free."""
+    from sdtpu.ops.conv import use_fused_upsample
+
     z = conv2d(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
     x = conv2d(p["conv_in"], z, padding=1)
-    x = _mid_apply(p["mid"], x, cfg)
+    x, st = _mid_apply(p["mid"], x, cfg, emit_stats=True)
     for blk in p["blocks"]:
-        x = _resnet_apply(blk["res1"], x, cfg)
-        x = _resnet_apply(blk["res2"], x, cfg)
-        x = _resnet_apply(blk["res3"], x, cfg)
+        x, st = _resnet_apply(blk["res1"], x, cfg, in_stats=st, emit_stats=True)
+        x, st = _resnet_apply(blk["res2"], x, cfg, in_stats=st, emit_stats=True)
+        x, st = _resnet_apply(blk["res3"], x, cfg, in_stats=st, emit_stats=True)
         if "upsampler" in blk:
             # fused subpixel form of nearest-2x + conv3x3 (see ops/conv.py)
-            x = upsample2x_conv(blk["upsampler"], x)
-    x = group_norm_silu_op(x, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+            w = blk["upsampler"]["w"]
+            bb, hh, ww, cc = x.shape
+            if use_fused_upsample(hh, ww, cc, w.shape[-1]):
+                from sdtpu.ops.fused_conv import upsample2x_conv_fused
+
+                x, st = upsample2x_conv_fused(x, w, blk["upsampler"]["b"],
+                                              emit_stats=True)
+            else:
+                x = upsample2x_conv(blk["upsampler"], x)
+                st = None
+    x = group_norm_silu_op(x, p["norm_out"]["g"], p["norm_out"]["b"],
+                           cfg.groupnorm_groups, cfg.groupnorm_eps,
+                           in_stats=st)
     return conv2d(p["conv_out"], x, padding=1)

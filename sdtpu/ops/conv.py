@@ -77,6 +77,20 @@ def nearest_upsample_2x(x):
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+def use_fused_upsample(h: int, w: int, cin: int, cout: int) -> bool:
+    """Measured dispatch (v5e, benchmarks/conv_micro.py): the Pallas
+    subpixel kernel wins at 128^2x512 (4.41 vs 6.52ms) and 256^2x256
+    (6.35 vs 10.86); XLA wins at 64^2x512 (0.96 vs 1.13) -> threshold at
+    128^2 input rows (SDTPU_FUSED_UP_MIN_ROWS overrides, tests use it)."""
+    import os
+
+    from sdtpu.ops.dispatch import use_pallas
+
+    min_rows = int(os.environ.get("SDTPU_FUSED_UP_MIN_ROWS", str(1 << 14)))
+    return (use_pallas() and cin % 128 == 0 and cout % 128 == 0
+            and h % 8 == 0 and h * w >= min_rows)
+
+
 def upsample2x_conv(params, x):
     """conv3x3(nearest_upsample_2x(x)) WITHOUT materialising the 4x
     tensor, as four phase-specific 2x2 convolutions + interleave.
@@ -86,10 +100,24 @@ def upsample2x_conv(params, x):
     weights that are partial sums of the 3x3 kernel — 4 effective taps
     per output pixel instead of 9 (2.25x fewer FLOPs) and no 4x
     intermediate. Bit-equivalent up to fp summation order.
+
+    On TPU, large aligned maps dispatch to the single-kernel Pallas form
+    (ops/fused_conv.py:upsample2x_conv_fused) which also skips the phase
+    stack/interleave materialisation — measured A/Bs in BENCHLOG.md.
     """
     w = params["w"]  # [3, 3, I, O]
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
+
+    from sdtpu.ops.dispatch import use_pallas
+
+    if use_fused_upsample(h, wd, cin, cout):
+        from sdtpu.ops.fused_conv import upsample2x_conv_fused
+
+        bias = params.get("b")
+        if bias is None:
+            bias = jnp.zeros((cout,), x.dtype)
+        return upsample2x_conv_fused(x, w, bias)
 
     # row-part combinations: phase 0 reads rows (i-1, i) with weights
     # (w0, w1+w2); phase 1 reads (i, i+1) with (w0+w1, w2). Same for cols.

@@ -43,13 +43,49 @@ def _norm_kernel(x_ref, scale_ref, bias_ref, o_ref, *, silu):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def channel_partials(x, block_rows: int = 1024, interpret: bool = False):
+    """One Pallas pass over x: per-channel f32 (sum, sum-of-squares).
+
+    x: [B, ..., C] -> [B, 2, C]. Shared by group_norm_silu and the fused
+    conv prologue (ops/fused_conv.py), which folds these into GroupNorm
+    scale/bias without re-reading the map.
+    """
+    b, c = x.shape[0], x.shape[-1]
+    rows = x.size // (b * c)
+    xr = x.reshape(b, rows, c)
+
+    vmem_budget = 5 * 1024 * 1024
+    br_cap = max(8, (vmem_budget // (16 * c)) // 8 * 8)
+    br = min(block_rows, rows, br_cap)
+    while rows % br:
+        br //= 2
+    if br < 8 and rows >= 8:
+        xf = xr.astype(jnp.float32)
+        return jnp.stack([xf.sum(axis=1), (xf * xf).sum(axis=1)], axis=1)
+    nblk = rows // br
+
+    partials = pl.pallas_call(
+        _stats_kernel,
+        grid=(b, nblk),
+        in_specs=[pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, 1, 2, c), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nblk, 2, c), jnp.float32),
+        interpret=interpret,
+    )(xr)
+    return partials.sum(axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_group", "eps", "silu", "block_rows", "interpret")
 )
 def group_norm_silu(x, gamma, beta, n_group: int = 32, eps: float = 1e-5,
                     silu: bool = True, block_rows: int = 1024,
-                    interpret: bool = False):
-    """x: [B, H, W, C] (or [B, rows, C]); returns silu(group_norm(x))."""
+                    sums=None, interpret: bool = False):
+    """x: [B, H, W, C] (or [B, rows, C]); returns silu(group_norm(x)).
+
+    sums: optional precomputed [B, 2, C] per-channel (sum, sum^2) of x —
+    skips the statistics pass (fed by ops/fused_conv.py emit_stats)."""
     orig_shape = x.shape
     b, c = orig_shape[0], orig_shape[-1]
     rows = 1
@@ -78,30 +114,11 @@ def group_norm_silu(x, gamma, beta, n_group: int = 32, eps: float = 1e-5,
         return y.astype(x.dtype).reshape(orig_shape)
     nblk = rows // br
 
-    partials = pl.pallas_call(
-        _stats_kernel,
-        grid=(b, nblk),
-        in_specs=[pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0))],
-        out_specs=pl.BlockSpec((1, 1, 2, c), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nblk, 2, c), jnp.float32),
-        interpret=interpret,
-    )(xr)
+    from sdtpu.ops.fused_conv import stats_scale_bias
 
-    cpg = c // n_group
-    sums = partials.sum(axis=1)  # [B, 2, C]
-    gsums = sums.reshape(b, 2, n_group, cpg).sum(-1)  # [B, 2, G]
-    n = rows * cpg
-    mean = gsums[:, 0] / n
-    var = gsums[:, 1] / n - mean * mean  # == E[u^2], biased
-
-    inv = jax.lax.rsqrt(var + eps)  # [B, G]
-    cpg = c // n_group
-    inv_c = jnp.repeat(inv, cpg, axis=1)  # [B, C]
-    mean_c = jnp.repeat(mean, cpg, axis=1)
-    gamma_f = gamma.astype(jnp.float32)[None]
-    beta_f = beta.astype(jnp.float32)[None]
-    scale = inv_c * gamma_f
-    bias = beta_f - mean_c * scale
+    if sums is None:
+        sums = channel_partials(x, block_rows=block_rows, interpret=interpret)
+    scale, bias = stats_scale_bias(sums, rows, gamma, beta, n_group, eps)
 
     out = pl.pallas_call(
         functools.partial(_norm_kernel, silu=silu),

@@ -36,13 +36,16 @@ def group_norm(x, gamma, beta, n_group: int, eps: float = 1e-5):
     return normed * gamma + beta
 
 
-def group_norm_silu_op(x, gamma, beta, n_group: int, eps: float = 1e-5):
+def group_norm_silu_op(x, gamma, beta, n_group: int, eps: float = 1e-5,
+                       in_stats=None):
     """GroupNorm followed by SiLU — the pervasive pairing in ResBlocks
     (reference: unet/mod.rs:713-726, autoencoder/mod.rs:513-520).
 
     Dispatches to the fused 2-pass Pallas kernel for large feature maps
     on TPU (SDTPU_FUSED_GN=1; saves one full read of the map vs XLA's
-    lowering), else the portable composition below.
+    lowering), else the portable composition below. in_stats: optional
+    [B, 2, C] per-channel (sum, sum^2) of x emitted by an upstream fused
+    kernel (ops/fused_conv.py) — skips the statistics read entirely.
     """
     import os
 
@@ -56,11 +59,12 @@ def group_norm_silu_op(x, gamma, beta, n_group: int, eps: float = 1e-5):
         from sdtpu.ops.dispatch import use_pallas
 
         rows = x.size // x.shape[-1] // x.shape[0]
-        big = rows >= (1 << 14) or mode == "all"
+        big = rows >= (1 << 14) or mode == "all" or in_stats is not None
         if use_pallas() and big and x.shape[-1] % 128 == 0 and rows % 8 == 0:
             from sdtpu.ops.fused_groupnorm import group_norm_silu
 
-            return group_norm_silu(x, gamma, beta, n_group, eps, silu=True)
+            return group_norm_silu(x, gamma, beta, n_group, eps, silu=True,
+                                   sums=in_stats)
     y = group_norm(x, gamma, beta, n_group, eps)
     return y * jax.nn.sigmoid(y)
 

@@ -9,7 +9,10 @@ import pytest
 
 from sdtpu.ops.attention import qkv_attention
 from sdtpu.ops.conv import linear
-from sdtpu.ops.fused_cross_attention import fused_cross_attention
+from sdtpu.ops.fused_cross_attention import (
+    fused_cross_attention,
+    fused_cross_attention_kv,
+)
 from sdtpu.ops.groupnorm import layer_norm
 
 
@@ -65,5 +68,26 @@ def test_fused_cross_key_valid_mask():
                                 interpret=True)
     # oracle: slice the context to the valid prefix (true variable-length)
     want = _unfused(x, ctx[:, :n_valid], g, bb, wq, wk, wv, wo, bo, n_head)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("b,s,c,sk,dc,n_head,block_q", [
+    (2, 256, 64, 77, 48, 4, 128),  # 77-key (pads to 128), multi-block
+    (1, 128, 80, 32, 96, 2, 128),  # dh=40, aligned sk
+])
+def test_precomputed_kv_variant(b, s, c, sk, dc, n_head, block_q):
+    """fused_cross_attention_kv (K/V projected+transposed outside) ==
+    the unfused composition, incl. a padding mask."""
+    x, ctx, g, bb, wq, wk, wv, wo, bo = _make(
+        jax.random.PRNGKey(2), b, s, c, sk, dc, jnp.float32)
+    valid = jnp.arange(sk)[None, :] < (sk - 5)
+    valid = jnp.broadcast_to(valid, (b, sk))
+    kt = jnp.einsum("bsd,dc->bcs", ctx, wk)
+    vt = jnp.einsum("bsd,dc->bcs", ctx, wv)
+    got = fused_cross_attention_kv(x, kt, vt, g, bb, wq, wo, bo,
+                                   key_valid=valid, n_head=n_head,
+                                   block_q=block_q, interpret=True)
+    want = _unfused(x, ctx[:, :sk - 5], g, bb, wq, wk, wv, wo, bo, n_head)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
