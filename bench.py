@@ -72,6 +72,11 @@ def main():
     n_steps = int(os.environ.get("SDTPU_BENCH_STEPS", "20"))
     iters = int(os.environ.get("SDTPU_BENCH_ITERS", "3"))
     preset = os.environ.get("SDTPU_BENCH_PRESET", "sd-v1-4")
+    # image size (SDTPU_BENCH_SIZE=1024 exercises the long-context path:
+    # 128^2-latent self-attention = 16384 tokens on the online-softmax
+    # flash kernel, fused ResBlocks at 128^2, VAE decode at 1024^2)
+    size = int(os.environ.get("SDTPU_BENCH_SIZE", "512"))
+    assert size % 64 == 0, size
 
     cfg = PRESETS.get(preset, SD_V1_4)
     dtype = jnp.bfloat16
@@ -102,7 +107,7 @@ def main():
     ctx = jnp.tile(ctx, (batch, 1, 1))
     valid = jnp.tile(valid, (batch, 1))
     latent0 = jax.random.normal(jax.random.PRNGKey(7),
-                                (batch, cfg.latent_size, cfg.latent_size, 4), jnp.float32)
+                                (batch, size // 8, size // 8, 4), jnp.float32)
     if mesh is not None:
         ctx = shard_batch(ctx, mesh)
         valid = shard_batch(valid, mesh)
@@ -161,7 +166,7 @@ def main():
 
     mesh_tag = f" dp={n_dev}" if mesh is not None else ""
     print(json.dumps({
-        "metric": f"images/sec/chip, SDv1-4 512x512 bf16 batched-CFG "
+        "metric": f"images/sec/chip, SDv1-4 {size}x{size} bf16 batched-CFG "
                   f"{sampler.upper()} {n_steps} steps batch {batch}{mesh_tag}",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",

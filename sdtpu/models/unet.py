@@ -208,17 +208,68 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
 
 # ------------------------------------------------------------ apply
 
-def _res_block_apply(p, x, emb, cfg: UNetConfig):
-    """reference: unet/mod.rs:713-733."""
+def _use_fused_resblock(x) -> bool:
+    """UNet ResBlock fused-conv dispatch. Measured (v5e, B=8, isolated
+    graphs): XLA WINS at the 512px UNet maps — 1.12 vs 1.36ms at
+    64^2x320, 1.32 vs 2.34 at 64^2x640->320 (concat input), 1.05 vs 1.04
+    at 32^2x640 — its conv lowering is strong when the map tiles stay
+    cache-resident. The fused chain only pays off on big maps (VAE
+    numbers in BENCHLOG), so the UNet gate starts at 128^2 rows (the
+    1024px-latent regime). SDTPU_FUSED_UNET_RES=0 disables."""
+    import os
+
+    from sdtpu.ops.dispatch import use_pallas
+
+    if os.environ.get("SDTPU_FUSED_UNET_RES", "1") in ("0", "false"):
+        return False
+    b, h, w, c = x.shape
+    min_rows = int(os.environ.get("SDTPU_FUSED_UNET_MIN_ROWS", str(1 << 14)))
+    return use_pallas() and c % 8 == 0 and h % 8 == 0 and h * w >= min_rows
+
+
+def _res_block_apply(p, x, emb, cfg: UNetConfig, emit_stats=False):
+    """reference: unet/mod.rs:713-733. emit_stats: also return the
+    per-channel (sum, sum^2) of the output (fused path; None on the
+    XLA path) for the next consumer's GroupNorm.
+
+    Fused path: the timestep-embedding add between conv_in and norm_out
+    is never materialised — h1+e's GroupNorm statistics are derived from
+    the kernel-emitted stats of h1 by a per-channel shift
+    (sum' = sum + N*e, sumsq' = sumsq + 2e*sum + N*e^2), and the
+    normalize-affine of the second conv's prologue absorbs e
+    (scale*(x+e)+bias == scale*x + (bias+scale*e), all per-(batch,
+    channel)) — bit-equivalent up to fp order."""
+    e = linear(p["lin_embed"], silu(emb))  # [B?, c_out]
+    if _use_fused_resblock(x):
+        from sdtpu.ops.fused_conv import (conv3x3_fused, gn_scale_bias,
+                                          stats_scale_bias)
+
+        rows = x.shape[1] * x.shape[2]
+        s1, o1 = gn_scale_bias(x, p["norm_in"]["g"], p["norm_in"]["b"],
+                               cfg.groupnorm_groups, cfg.groupnorm_eps)
+        h1, st = conv3x3_fused(x, p["conv_in"]["w"], p["conv_in"]["b"],
+                               s1, o1, emit_stats=True)
+        ef = e.astype(jnp.float32)  # [B, c_out]
+        st = jnp.stack([st[:, 0] + rows * ef,
+                        st[:, 1] + 2.0 * ef * st[:, 0] + rows * ef * ef],
+                       axis=1)
+        s2, o2 = stats_scale_bias(st, rows, p["norm_out"]["g"],
+                                  p["norm_out"]["b"], cfg.groupnorm_groups,
+                                  cfg.groupnorm_eps)
+        o2 = o2 + s2 * ef  # prologue absorbs the (un-stored) emb add
+        res = (conv2d(p["skip_connection"], x, padding=0)
+               if "skip_connection" in p else x)
+        return conv3x3_fused(h1, p["conv_out"]["w"], p["conv_out"]["b"],
+                             s2, o2, residual=res, emit_stats=emit_stats)
     h = group_norm_silu_op(x, p["norm_in"]["g"], p["norm_in"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
     h = conv2d(p["conv_in"], h, padding=1)
-    e = linear(p["lin_embed"], silu(emb))  # [B?, c_out]
     h = h + e[:, None, None, :]
     h = group_norm_silu_op(h, p["norm_out"]["g"], p["norm_out"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
     h = conv2d(p["conv_out"], h, padding=1)
     if "skip_connection" in p:
         x = conv2d(p["skip_connection"], x, padding=0)
-    return x + h
+    y = x + h
+    return (y, None) if emit_stats else y
 
 
 def _mha_apply(p, x, context, n_head, key_valid=None):
@@ -264,13 +315,43 @@ def _use_fused_xattn(s: int, c: int, n_head: int) -> bool:
             and (c // n_head) % 8 == 0)
 
 
-def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
+def _use_fused_proj(rows: int, c: int) -> bool:
+    """GN+proj_in / proj_out+residual 1x1-conv fusion dispatch
+    (ops/fused_conv.py:conv1x1_fused). SDTPU_FUSED_PROJ=0 disables."""
+    import os
+
+    from sdtpu.ops.dispatch import use_pallas
+
+    if os.environ.get("SDTPU_FUSED_PROJ", "1") in ("0", "false"):
+        return False
+    min_rows = int(os.environ.get("SDTPU_FUSED_CONV_MIN_ROWS", str(1 << 12)))
+    return use_pallas() and c % 8 == 0 and rows % 8 == 0 and rows >= min_rows
+
+
+def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None,
+                       in_stats=None):
     """SpatialTransformer (unet/mod.rs:462-480) + inner TransformerBlock
-    (unet/mod.rs:522-527)."""
+    (unet/mod.rs:522-527). in_stats: optional [B, 2, C] (sum, sum^2) of x
+    from the preceding fused ResBlock — the entry GroupNorm consumes it
+    instead of re-reading the map."""
     b, h, w, c = x.shape
     x_in = x
-    x = group_norm(x, p["norm"]["g"], p["norm"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
-    x = conv2d(p["proj_in"], x, padding=0).reshape(b, h * w, c)
+    if _use_fused_proj(h * w, c):
+        from sdtpu.ops.fused_conv import (conv1x1_fused, gn_scale_bias,
+                                          stats_scale_bias)
+
+        if in_stats is not None:
+            s, o = stats_scale_bias(in_stats, h * w, p["norm"]["g"],
+                                    p["norm"]["b"], cfg.groupnorm_groups,
+                                    cfg.groupnorm_eps)
+        else:
+            s, o = gn_scale_bias(x, p["norm"]["g"], p["norm"]["b"],
+                                 cfg.groupnorm_groups, cfg.groupnorm_eps)
+        x = conv1x1_fused(x.reshape(b, h * w, c), p["proj_in"]["w"][0, 0],
+                          p["proj_in"]["b"], s, o)
+    else:
+        x = group_norm(x, p["norm"]["g"], p["norm"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
+        x = conv2d(p["proj_in"], x, padding=0).reshape(b, h * w, c)
 
     t = p["transformer"]
     if _use_fused_attn(h * w, c, n_head):
@@ -319,6 +400,12 @@ def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None):
         val, gate = jnp.split(proj, 2, axis=-1)
         x = x + linear(t["mlp"]["lin"], geglu(val, gate))
 
+    if _use_fused_proj(h * w, c):
+        from sdtpu.ops.fused_conv import conv1x1_fused
+
+        out = conv1x1_fused(x, p["proj_out"]["w"][0, 0], p["proj_out"]["b"],
+                            residual=x_in.reshape(b, h * w, c))
+        return out.reshape(b, h, w, c)
     x = x.reshape(b, h, w, c)
     return x_in + conv2d(p["proj_out"], x, padding=0)
 
@@ -329,9 +416,14 @@ def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid):
     if spec.kind == "down":
         return conv2d(p, x, stride=2, padding=1)
     res_p = p["res"] if (spec.transformer or spec.upsample) else p
-    x = _res_block_apply(res_p, x, emb, cfg)
     if spec.transformer:
-        x = _transformer_apply(p["transformer"], x, context, cfg, spec.n_head, ctx_valid)
+        # thread the resblock's output stats into the transformer's
+        # entry GroupNorm (fused path only; st is None otherwise)
+        x, st = _res_block_apply(res_p, x, emb, cfg, emit_stats=True)
+        x = _transformer_apply(p["transformer"], x, context, cfg,
+                               spec.n_head, ctx_valid, in_stats=st)
+    else:
+        x = _res_block_apply(res_p, x, emb, cfg)
     if spec.upsample:
         # fused subpixel form of nearest-2x + conv3x3 (see ops/conv.py)
         x = upsample2x_conv(p["upsample"]["conv"], x)

@@ -304,6 +304,108 @@ def upsample2x_conv_fused(x, w, conv_bias, emit_stats: bool = False,
     return out
 
 
+def _mm_kernel(x_ref, w_ref, cb_ref, ps_ref, pb_ref, res_ref, o_ref, st_ref,
+               *, silu, prologue, residual, emit_stats):
+    x = x_ref[0]
+    if prologue:
+        xf = x.astype(jnp.float32) * ps_ref[0] + pb_ref[0]
+        if silu:
+            xf = xf * jax.nn.sigmoid(xf)
+        x = xf.astype(x_ref.dtype)
+    acc = jax.lax.dot_general(
+        x, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + cb_ref[0]
+    if residual:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+    if emit_stats:
+        st_ref[0, 0] = jnp.stack(
+            [jnp.sum(acc, axis=0), jnp.sum(acc * acc, axis=0)])
+
+
+@functools.partial(jax.jit, static_argnames=("silu", "emit_stats", "block_r",
+                                             "interpret"))
+def conv1x1_fused(x, w, conv_bias, prologue_scale=None, prologue_bias=None,
+                  residual=None, silu: bool = False,
+                  emit_stats: bool = False, block_r: int = 0,
+                  interpret: bool = False):
+    """Pointwise conv (= channel matmul) with the same optional fusions
+    as conv3x3_fused: GroupNorm-affine(+SiLU) prologue, residual-add
+    epilogue, output-stats emission. Covers the SpatialTransformer's
+    GN+proj_in entry and proj_out+residual exit (unet/mod.rs:462-480)
+    and the VAE attn projections, in ONE pass over the map.
+
+    x: [B, ..., C]; w: [C, Co] (a [1,1,C,Co] HWIO conv weight squeezed);
+    residual: same leading shape as x with Co channels."""
+    orig_shape = x.shape
+    b, c = orig_shape[0], orig_shape[-1]
+    rows = x.size // (b * c)
+    co = w.shape[-1]
+    xr = x.reshape(b, rows, c)
+    prologue = prologue_scale is not None
+    has_res = residual is not None
+
+    if block_r:
+        br = block_r
+    else:
+        budget = 64 * 1024 * 1024
+        it = x.dtype.itemsize
+        br = min(rows, 2048)
+        while br > 8:
+            need = br * (c * it * 3 + co * (4 + 2 * it))
+            if rows % br == 0 and need <= budget:
+                break
+            br //= 2
+    assert rows % br == 0, (rows, br)
+    nblk = rows // br
+
+    if prologue:
+        ps = prologue_scale.astype(jnp.float32).reshape(b, 1, c)
+        pb = prologue_bias.astype(jnp.float32).reshape(b, 1, c)
+    else:
+        ps = jnp.zeros((b, 1, c), jnp.float32)
+        pb = ps
+    res = (residual.reshape(b, rows, co) if has_res
+           else jnp.zeros((b, 1, co), x.dtype))
+    res_spec = (pl.BlockSpec((1, br, co), lambda i, j: (i, j, 0))
+                if has_res else pl.BlockSpec((1, 1, co), lambda i, j: (i, 0, 0)))
+
+    outs = pl.pallas_call(
+        functools.partial(_mm_kernel, silu=silu, prologue=prologue,
+                          residual=has_res, emit_stats=emit_stats),
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((c, co), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            res_spec,
+        ],
+        out_specs=(pl.BlockSpec((1, br, co), lambda i, j: (i, j, 0)),
+                   pl.BlockSpec((1, 1, 2, co), lambda i, j: (i, j, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b, rows, co), x.dtype),
+                   jax.ShapeDtypeStruct((b, nblk, 2, co), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * rows * c * co,
+            bytes_accessed=(b * rows * (c + co) + c * co) * x.dtype.itemsize,
+            transcendentals=b * rows * c if (prologue and silu) else 0,
+        ),
+        interpret=interpret,
+    )(xr, w.astype(x.dtype), conv_bias.astype(jnp.float32)[None, :],
+      ps, pb, res)
+    y, stats = outs
+    y = y.reshape(orig_shape[:-1] + (co,))
+    if emit_stats:
+        return y, stats.sum(axis=1)
+    return y
+
+
 def gn_scale_bias(x, gamma, beta, n_group: int, eps: float,
                   interpret: bool = False):
     """Per-(batch, channel) folded GroupNorm affine from one stats pass

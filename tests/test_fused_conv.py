@@ -152,6 +152,101 @@ def test_decode_stats_threading(monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_unet_resblock_emb_folding(monkeypatch):
+    """UNet ResBlock fused path (timestep-emb add folded into the stats
+    shift + prologue affine, never materialised) == the unfused path."""
+    import functools as ft
+
+    import sdtpu.ops.dispatch as dispatch
+    import sdtpu.ops.fused_conv as fc
+    from sdtpu.config import UNetConfig
+    from sdtpu.models import unet as U
+
+    cfg = UNetConfig()
+    p = U._init_res_block(jax.random.PRNGKey(3), 96, cfg.time_embed_dim,
+                          64, jnp.float32)
+    x = _rand((2, 16, 16, 96))
+    emb = _rand((2, cfg.time_embed_dim))
+
+    want = U._res_block_apply(p, x, emb, cfg)  # CPU -> XLA path
+
+    monkeypatch.setenv("SDTPU_FUSED_CONV_MIN_ROWS", "1")
+    monkeypatch.setenv("SDTPU_FUSED_UNET_MIN_ROWS", "1")
+    monkeypatch.setattr(dispatch, "use_pallas", lambda: True)
+    monkeypatch.setattr(fc, "conv3x3_fused",
+                        ft.partial(fc.conv3x3_fused, interpret=True))
+    monkeypatch.setattr(fc, "gn_scale_bias",
+                        ft.partial(fc.gn_scale_bias, interpret=True))
+    got = U._res_block_apply(p, x, emb, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv1x1_fused_matches():
+    """conv1x1_fused (GN prologue + residual + stats) == the unfused
+    GroupNorm -> 1x1 conv -> residual composition."""
+    from sdtpu.ops.fused_conv import conv1x1_fused
+
+    x = _rand((2, 8, 8, 128))
+    g, b = _rand((128,)), _rand((128,))
+    w = _rand((128, 64)) * 0.1
+    cb = _rand((64,))
+    res = _rand((2, 8, 8, 64))
+    want = conv2d({"w": w[None, None], "b": cb},
+                  group_norm(x, g, b, 32, 1e-6), padding=0) + res
+    s, o = gn_scale_bias(x, g, b, 32, 1e-6, interpret=True)
+    got, st = conv1x1_fused(x, w, cb, s, o, residual=res, emit_stats=True,
+                            block_r=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    yf = np.asarray(want, np.float64).reshape(2, -1, 64)
+    np.testing.assert_allclose(np.asarray(st[:, 0]), yf.sum(1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(st[:, 1]), (yf * yf).sum(1),
+                               rtol=1e-4)
+
+
+def test_unet_transformer_fused_projections(monkeypatch):
+    """Full SpatialTransformer with fused GN+proj_in entry (stats threaded
+    from the preceding ResBlock) and proj_out+residual exit == XLA path."""
+    import functools as ft
+
+    import sdtpu.ops.dispatch as dispatch
+    import sdtpu.ops.fused_conv as fc
+    from sdtpu.config import UNetConfig
+    from sdtpu.models import unet as U
+
+    cfg = UNetConfig()
+    key = jax.random.PRNGKey(4)
+    c, n_head = 64, 4
+    p = {
+        "res": U._init_res_block(key, c, cfg.time_embed_dim, c, jnp.float32),
+        "transformer": U._init_transformer(key, c, cfg.context_dim,
+                                           jnp.float32),
+    }
+    spec = U.BlockSpec("rt1", "res", c, c, transformer=True, n_head=n_head)
+    x = _rand((2, 16, 16, c))
+    emb = _rand((2, cfg.time_embed_dim))
+    ctx = _rand((2, 77, cfg.context_dim))
+
+    want = U._block_apply(p, spec, x, emb, ctx, cfg, None)
+
+    monkeypatch.setenv("SDTPU_FUSED_CONV_MIN_ROWS", "1")
+    monkeypatch.setenv("SDTPU_FUSED_UNET_MIN_ROWS", "1")
+    monkeypatch.setattr(dispatch, "use_pallas", lambda: True)
+    monkeypatch.setattr(fc, "conv3x3_fused",
+                        ft.partial(fc.conv3x3_fused, interpret=True))
+    monkeypatch.setattr(fc, "conv1x1_fused",
+                        ft.partial(fc.conv1x1_fused, interpret=True))
+    monkeypatch.setattr(fc, "gn_scale_bias",
+                        ft.partial(fc.gn_scale_bias, interpret=True))
+    # keep attention/MLP sublayers on the XLA path (separately tested)
+    monkeypatch.setattr(U, "_use_fused_attn", lambda *a: False)
+    monkeypatch.setattr(U, "_use_fused_xattn", lambda *a: False)
+    got = U._block_apply(p, spec, x, emb, ctx, cfg, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_bf16_path():
     x = _rand((1, 16, 16, 128), jnp.bfloat16)
     g, b = jnp.ones(128, jnp.bfloat16), jnp.zeros(128, jnp.bfloat16)
