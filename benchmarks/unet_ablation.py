@@ -37,9 +37,10 @@ def main():
     cfg = SD_V1_4.unet
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
-    B = 8
+    B = int(os.environ.get("SDTPU_ABL_BATCH", "8"))
+    s = int(os.environ.get("SDTPU_ABL_LATENT", "64"))  # 128 = 1024px class
     up = U.init_unet(key, cfg, dtype)
-    x = jax.random.normal(key, (B, 64, 64, 4), dtype)
+    x = jax.random.normal(key, (B, s, s, 4), dtype)
     ctx = jax.random.normal(key, (B, 77, 768), dtype)
 
     def step(x, ctx):
@@ -59,15 +60,16 @@ def main():
             return linear(p["out"], linear(p["query"], xq))  # kill cross-attn core
         return orig_mha(p, xq, context, n_head, key_valid)
 
-    def no_transformer(p, xx, context, cfg_, n_head, ctx_valid=None):
+    def no_transformer(p, xx, context, cfg_, n_head, ctx_valid=None,
+                       in_stats=None):
         return xx
 
-    def light_res(p, xx, emb, cfg_):
+    def light_res(p, xx, emb, cfg_, emit_stats=False):
         # keep channel change via skip conv only
         if "skip_connection" in p:
             from sdtpu.ops import conv2d
-            return conv2d(p["skip_connection"], xx, padding=0)
-        return xx
+            xx = conv2d(p["skip_connection"], xx, padding=0)
+        return (xx, None) if emit_stats else xx
 
     variants = [("full", {})]
     variants.append(("no-self-attn-core", {"_mha_apply": mha_self_only}))

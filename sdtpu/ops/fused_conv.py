@@ -64,21 +64,25 @@ def _kernel(x_ref, hal_ref, w_ref, cb_ref, ps_ref, pb_ref, res_ref,
     xp = jnp.concatenate([zc, xin, zc], axis=1)  # [bh+2, W+2, C]
 
     co = o_ref.shape[-1]
-    acc = jnp.zeros((bh * W, co), jnp.float32)
+    # hoist the 3 column shifts out of the tap loop: 3 sublane-shift
+    # copies instead of 9; the dy slices below index the UNTILED leading
+    # dim (free views), and the 3-D dot keeps [bh, W] as M dims with no
+    # reshape relayout
+    xcols = [xp[:, dx:dx + W, :] for dx in range(3)]
+    acc = jnp.zeros((bh, W, co), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = xp[dy:dy + bh, dx:dx + W, :].reshape(bh * W, -1)
             acc = acc + jax.lax.dot_general(
-                xs, w_ref[dy, dx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                xcols[dx][dy:dy + bh], w_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     acc = acc + cb_ref[0]
     if residual:
-        acc = acc + res_ref[0].reshape(bh * W, co).astype(jnp.float32)
-    o_ref[0] = acc.reshape(bh, W, co).astype(o_ref.dtype)
+        acc = acc + res_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
     if emit_stats:
         st_ref[0, 0] = jnp.stack(
-            [jnp.sum(acc, axis=0), jnp.sum(acc * acc, axis=0)])
+            [jnp.sum(acc, axis=(0, 1)), jnp.sum(acc * acc, axis=(0, 1))])
 
 
 def _pick_bh(h, w, c, co, itemsize):
@@ -198,24 +202,26 @@ def _up_kernel(x_ref, hal_ref, w_ref, cb_ref, o_ref, st_ref, *, bh, W, H,
     xp = jnp.concatenate([zc, xin, zc], axis=1)  # [bh+2, W+2, C]
 
     co = o_ref.shape[-1]
+    # col offsets b+px span {0,1,2}: hoist the 3 sublane shifts like the
+    # 3x3 kernel; dy slices are free views of the untiled leading dim
+    xcols = [xp[:, k:k + W, :] for k in range(3)]
     s1 = jnp.zeros((co,), jnp.float32)
     s2 = jnp.zeros((co,), jnp.float32)
     for py in range(2):
         for px in range(2):
-            acc = jnp.zeros((bh * W, co), jnp.float32)
+            acc = jnp.zeros((bh, W, co), jnp.float32)
             for a in range(2):
                 for b_ in range(2):
-                    xs = xp[a + py:a + py + bh,
-                            b_ + px:b_ + px + W, :].reshape(bh * W, -1)
                     acc = acc + jax.lax.dot_general(
-                        xs, w_ref[2 * py + px, a, b_],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        xcols[b_ + px][a + py:a + py + bh],
+                        w_ref[2 * py + px, a, b_],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
             acc = acc + cb_ref[0]
-            o_ref[0, :, py, :, px, :] = acc.reshape(bh, W, co).astype(o_ref.dtype)
+            o_ref[0, :, py, :, px, :] = acc.astype(o_ref.dtype)
             if emit_stats:
-                s1 = s1 + jnp.sum(acc, axis=0)
-                s2 = s2 + jnp.sum(acc * acc, axis=0)
+                s1 = s1 + jnp.sum(acc, axis=(0, 1))
+                s2 = s2 + jnp.sum(acc * acc, axis=(0, 1))
     if emit_stats:
         st_ref[0, 0] = jnp.stack([s1, s2])
 
