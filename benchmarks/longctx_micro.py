@@ -77,6 +77,17 @@ def main():
             res[f"fused_sublayer_bq{bq}"] = float("nan")
             print(f"  fused bq={bq} failed: {str(e)[:90]}")
 
+    # the number fused_sublayer must actually beat: the UNFUSED sublayer
+    # (LN + 3 projections + flash core + out proj + residual), i.e. what
+    # models/unet.py runs when the fused kernel is not dispatched
+    def composite(x):
+        xin = layer_norm(x, g, bb)
+        o = flash_qkv_attention(linear({"w": wq}, xin), linear({"w": wk}, xin),
+                                linear({"w": wv}, xin), h)
+        return x + linear({"w": wo, "b": bo}, o)
+
+    res["composite_glue"] = bench(composite, (q,), iters=6)
+
     for name, ms in res.items():
         print(f"{name:22s}: {ms:8.3f}ms")
     base = res["xla"]

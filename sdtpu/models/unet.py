@@ -286,14 +286,15 @@ def _mha_apply(p, x, context, n_head, key_valid=None):
 def _use_fused_attn(s: int, c: int, n_head: int) -> bool:
     """Measured dispatch (benchmarks/fused_attn_micro.py +
     longctx_micro.py, TPU v5e): the fused LN+qkv+attention+out-proj
-    kernel beats the unfused path from the 16^2 to the 64^2 UNet maps
-    (4.0 -> 3.1ms at S=4096); ABOVE 4096 tokens (1024px class) the
-    online-softmax flash composite wins (14.8 vs 18.0ms at S=16384), so
-    the fused kernel caps at S=4096 and the unfused path's flash
-    dispatch takes over."""
+    kernel beats the unfused path from the 16^2 up to the 128^2
+    (1024px-class) UNet maps — 4.0 -> 3.1ms at S=4096; at S=16384 the
+    fused sublayer (bq=128) is 20.1ms vs 26.1ms for the unfused
+    sublayer INCLUDING its LN/projection/split-merge glue (the r1 '14.8
+    vs 18.0' reading compared the fused sublayer against the bare
+    attention core — glue-blind, superseded)."""
     from sdtpu.ops.dispatch import use_pallas
 
-    return (use_pallas() and 256 <= s <= 4096 and s % 128 == 0
+    return (use_pallas() and 256 <= s <= 16384 and s % 128 == 0
             and (c // n_head) % 8 == 0)
 
 

@@ -70,6 +70,59 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, n
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_ot_kernel(q_ref, k_ref, v_ref, ot_ref, m_scr, l_scr, acc_scr,
+                     *, scale, nk):
+    """Transposed online-softmax variant for small head dims (d <= 64).
+
+    Everything lives transposed: scores are computed as k @ q^T
+    ([bk, bq], same MXU cost as q @ k^T), the softmax statistics are
+    column stats ([1, bq], kept in an 8-sublane scratch row), and the
+    p @ v product is contract(v, p^T) -> [dv, bq], so the accumulator's
+    narrow head dim sits on 8-granular SUBLANES instead of one
+    mostly-padded 128-lane tile — the same layout win as
+    _fullk_ot_body (21% there), applied to the 16K-token online path
+    where the [bq, 128-padded] accumulator was 128/48 = 2.7x wasted
+    MXU streaming at d=40. The caller untransposes outside."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, d_pad]
+    k = k_ref[0]  # [bk, d_pad]
+    v = v_ref[0]  # [bk, dv]
+
+    st = jax.lax.dot_general(
+        k, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [bk, bq]
+
+    m_prev = m_scr[0:1]  # [1, bq]
+    l_prev = l_scr[0:1]
+    m_cur = jnp.max(st, axis=0, keepdims=True)  # [1, bq]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(st - m_new)  # [bk, bq]
+    l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        v, p.astype(v.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [dv, bq]
+    acc_scr[:] = acc
+    m_scr[0:1] = m_new
+    l_scr[0:1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        ot_ref[0] = (acc_scr[:] / l_scr[0:1]).astype(ot_ref.dtype)
+
+
 def _fullk_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     """Single-k-block variant: the whole K/V for one (b,h) fits VMEM
     (sk*d_pad*2B <= ~1MB at SD sizes), so softmax is direct row softmax —
@@ -145,10 +198,12 @@ def _pad_head_dim(x, d_pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "n_head", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "n_head", "single_k",
+                              "interpret")
 )
 def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
                           block_q: int = 512, block_k: int = 1024,
+                          single_k: bool | None = None,
                           interpret: bool = False):
     """q: [BH, Sq, D], k/v: [BH, Sk, D] (heads pre-flattened into batch).
 
@@ -278,7 +333,58 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
             "key_bias requires the full-K path; this shape "
             f"(sk={sk}, d_pad={d_pad}, est. {fullk_vmem >> 20}MB VMEM) "
             "exceeds its budget — use the XLA masked attention instead")
+    # single-k-block preference (measured, benchmarks/longctx_micro.py
+    # s=16384 d=40 B=2, v5e: ONE direct pass 13.2ms vs 15.6ms for 16
+    # pipelined k-steps — no scratch round-trips, no per-step online
+    # rescale). Take it whenever the [bq, sk] f32 score tile + whole K/V
+    # fit the scoped-VMEM budget; shrink the q block before giving up.
+    if nk > 1 and single_k is not False:
+        for bq_c in (512, 256, 128):
+            need = (bq_c * sk * 6                          # scores f32 + p
+                    + 2 * sk * d_pad * qp.dtype.itemsize   # K + V
+                    + 2 * bq_c * d_pad * 4)
+            if sq % bq_c == 0 and (single_k
+                                   or need <= 56 * 1024 * 1024):
+                bq, bk, nq, nk = bq_c, sk, sq // bq_c, 1
+                break
     grid = (bh, nq, nk)
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Mosaic's default scoped limit is 16MB; the 512x1024 blocks +
+            # scratch just tip over it at sk>=16384 (16.06MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * sq * sk * d_pad * 2,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+        interpret=interpret,
+    )
+    if d <= 64:
+        # transposed variant: the p @ v accumulator is [dv, bq] on
+        # 8-granular sublanes (see _flash_ot_kernel)
+        dv = -(-d // 8) * 8
+        v_in = jnp.pad(v, [(0, 0), (0, 0), (0, dv - d)]) if dv != d else v
+        out = pl.pallas_call(
+            functools.partial(_flash_ot_kernel, scale=scale, nk=nk),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, d_pad), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, bk, d_pad), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, bk, dv), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, dv, bq), lambda b, i, j: (b, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((bh, dv, sq), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((8, bq), jnp.float32),
+                pltpu.VMEM((8, bq), jnp.float32),
+                pltpu.VMEM((dv, bq), jnp.float32),
+            ],
+            **common,
+        )(qp, kp, v_in)
+        return out[:, :d, :].transpose(0, 2, 1)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, nk=nk),
         grid=grid,
@@ -294,18 +400,7 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d_pad), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # Mosaic's default scoped limit is 16MB; the 512x1024 blocks +
-            # scratch just tip over it at sk>=16384 (16.06MB)
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bh * sq * sk * d_pad * 2,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=bh * sq * sk,
-        ),
-        interpret=interpret,
+        **common,
     )(qp, kp, vp)
     return out[..., :d]
 

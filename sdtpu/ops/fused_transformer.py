@@ -99,8 +99,11 @@ def fused_self_attention(x, ln_g, ln_b, wq, wk, wv, wo, bo,
     wq/wk/wv: [C, C] (no bias, matching unet/mod.rs:642-652); wo: [C, C];
     bo: [C]. Requires C % n_head == 0 and d_head % 8 == 0 (sublane
     granule; SD v1: 40/80/160). block_q=0 picks the measured-best block
-    (256 at S>=2048, 128 below — benchmarks/fused_attn_micro.py; larger
-    blocks pipeline WORSE here because the j==0 prep step serialises).
+    (256 at S in [2048, 4096], 128 below AND above —
+    benchmarks/fused_attn_micro.py + longctx_micro.py; larger blocks
+    pipeline WORSE here because the j==0 prep step serialises, and at
+    S=16384 bq=128 measured 20.1ms vs an unfused-sublayer 26.1ms while
+    bq=256 tips the remote Mosaic compiler over).
     """
     b, s, c = x.shape
     d_head = c // n_head
@@ -108,7 +111,7 @@ def fused_self_attention(x, ln_g, ln_b, wq, wk, wv, wo, bo,
     scale = float(d_head) ** -0.5
 
     if not block_q:
-        block_q = 256 if s >= 2048 else 128
+        block_q = 256 if 2048 <= s <= 4096 else 128
     bq = min(block_q, s)
     while s % bq:
         bq //= 2

@@ -50,6 +50,27 @@ def test_flash_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=7e-2)
 
 
+@pytest.mark.parametrize("single_k", [False, None])
+def test_flash_online_multiblock_d40(single_k):
+    """Long-context (1024px-class) shape: s=8192 forces the full-K
+    estimate past its VMEM budget, so this exercises the ONLINE kernel —
+    for d_head=40 that is the transposed _flash_ot_kernel ([dv, bq]
+    accumulator). single_k=False pins the PIPELINED multi-k-block path
+    (j > 0 online rescale); None takes the production single-k-block
+    dispatch."""
+    from sdtpu.ops.flash_attention import flash_attention_heads
+
+    b, s, n_state, n_head = 1, 8192, 40, 1
+    q = jnp.asarray(RNG.standard_normal((b, s, n_state)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, s, n_state)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, s, n_state)), jnp.float32)
+    # on CPU use_pallas() is False, so qkv_attention is the XLA oracle
+    want = qkv_attention(q, k, v, None, n_head)
+    got = flash_attention_heads(q, k, v, n_head=n_head, single_k=single_k,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_flash_cross_attention_key_bias():
     """Full-K kernel with key-padding bias == unpadded XLA attention
     (the cross-attention fast path, kv padded 77 -> 128)."""
