@@ -84,6 +84,7 @@ def sample_main(argv=None) -> None:
     preset = "sd-v1-4"
     bf16 = False
     batch = 1
+    sampler = "ddim"
     i = 1
     positional = [argv[0]]
     while i < len(argv):
@@ -96,6 +97,11 @@ def sample_main(argv=None) -> None:
             bf16 = True; i += 1
         elif a == "--batch":
             batch = int(argv[i + 1]); i += 2
+        elif a == "--sampler":
+            sampler = argv[i + 1]; i += 2
+            if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
+                _fail("Error: --sampler must be "
+                      "ddim|dpmpp|euler|euler_a|heun")
         else:
             positional.append(a); i += 1
     argv = positional
@@ -138,7 +144,7 @@ def sample_main(argv=None) -> None:
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(seed) if seed is not None else None
     images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
-                         n_images=batch, key=key)
+                         n_images=batch, key=key, sampler=sampler)
     dt = time.perf_counter() - t0
     with profiling.phase("save_png"):
         paths = save_images(images, output_name)

@@ -72,6 +72,7 @@ def _sample_latent_impl(
     uncond_context,
     uncond_valid,
     guidance_scale,
+    noise_key=None,
     *,
     config: StableDiffusionConfig,
     compute_dtype,
@@ -159,7 +160,65 @@ def _sample_latent_impl(
         state, _ = jax.lax.scan(body, dpmpp_init(latent.astype(jnp.float32)), xs)
         return state.x
 
-    raise ValueError(f"unknown sampler {sampler!r} (ddim|dpmpp)")
+    if sampler in ("euler", "euler_a", "heun"):
+        from sdtpu.diffusion.karras import (
+            euler_ancestral_step,
+            euler_step,
+            heun_step,
+            karras_arrays,
+            model_input,
+            vp_alpha,
+        )
+
+        arrs = karras_arrays(alphas, n_train_steps, n_steps)
+        if skip_steps:
+            arrs = type(arrs)(*(a[skip_steps:] for a in arrs))
+        # VP N(0,1) init latent -> VE domain (x0 comes out unscaled)
+        x = latent.astype(jnp.float32) * jnp.sqrt(arrs.sigma[0] ** 2 + 1.0)
+
+        def eps_at(x, sigma, t):
+            inp = model_input(x, sigma)
+            return to_eps(denoise(inp, t), inp, vp_alpha(sigma))
+
+        if sampler == "euler":
+            def body(x, step):
+                t, _, sg, sn = step
+                return euler_step(x, eps_at(x, sg, t), sg, sn), None
+        elif sampler == "heun":
+            def body(x, step):
+                t, tn, sg, sn = step
+                e1 = eps_at(x, sg, t)
+                x2 = euler_step(x, e1, sg, sn)
+                # 2nd eval at the target sigma; ignored when sn == 0
+                # (final step degrades to Euler, keeping the scan
+                # branch-free — see karras.heun_step)
+                e2 = eps_at(x2, jnp.maximum(sn, 1e-20), tn)
+                return heun_step(x, e1, e2, sg, sn), None
+        else:  # euler_a
+            if noise_key is None:
+                raise ValueError("sampler='euler_a' needs a noise key "
+                                 "(pass key= to sample_latent)")
+
+            def body(carry, step):
+                x, k = carry
+                t, _, sg, sn = step
+                k, ks = jax.random.split(k)
+                noise = jax.random.normal(ks, x.shape, jnp.float32)
+                x = euler_ancestral_step(x, eps_at(x, sg, t), noise, sg, sn)
+                return (x, k), None
+
+            (x, _), _ = jax.lax.scan(
+                body, (x, noise_key),
+                (arrs.timesteps, arrs.t_next, arrs.sigma, arrs.sigma_next))
+            return x
+
+        x, _ = jax.lax.scan(
+            body, x,
+            (arrs.timesteps, arrs.t_next, arrs.sigma, arrs.sigma_next))
+        return x
+
+    raise ValueError(
+        f"unknown sampler {sampler!r} (ddim|dpmpp|euler|euler_a|heun)")
 
 
 @functools.partial(jax.jit, static_argnames=("config", "compute_dtype"))
@@ -253,9 +312,12 @@ class StableDiffusion:
         """mod.rs:102-160, fully on-device. context: [B, S, D]."""
         b = context.shape[0]
         hw = self.config.latent_size
+        noise_key = None
+        if key is None and (initial_latent is None or sampler == "euler_a"):
+            key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2 ** 63))
+        if sampler == "euler_a":
+            key, noise_key = jax.random.split(key)
         if initial_latent is None:
-            if key is None:
-                key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2 ** 63))
             initial_latent = jax.random.normal(key, (b, hw, hw, 4), jnp.float32)
         return _sample_latent_impl(
             self.params,
@@ -265,6 +327,7 @@ class StableDiffusion:
             unconditional_context,
             uncond_valid,
             unconditional_guidance_scale,
+            noise_key,
             config=self.config,
             compute_dtype=self.compute_dtype,
             n_train_steps=self.n_train_steps,

@@ -227,8 +227,9 @@ class Handler(BaseHTTPRequestHandler):
             sampler = req.get("sampler", "ddim")
             if not (1 <= steps <= 1000) or not (1 <= batch <= 16):
                 raise ValueError("steps in [1,1000], n_images in [1,16]")
-            if sampler not in ("ddim", "dpmpp"):
-                raise ValueError("sampler must be ddim|dpmpp")
+            if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
+                raise ValueError(
+                    "sampler must be ddim|dpmpp|euler|euler_a|heun")
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e}"})
             return

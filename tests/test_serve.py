@@ -115,7 +115,7 @@ def test_mixed_sampler_concurrency(server_port):
 
 
 def test_bad_sampler_rejected(server_port):
-    code, resp = _post(server_port, {"prompt": "a", "sampler": "euler"})
+    code, resp = _post(server_port, {"prompt": "a", "sampler": "plms"})
     assert code == 400
     assert "sampler" in resp["error"]
 
