@@ -123,3 +123,17 @@ def test_karras_pipeline_runs():
     for s in ("euler", "heun", "euler_a"):
         assert not np.allclose(ref, outs[s]), s
         assert np.abs(outs[s]).mean() < 10 * max(np.abs(ref).mean(), 1e-3), s
+
+
+def test_euler_skip_steps_img2img():
+    """skip_steps slices the sigma ladder BEFORE the VE rescale, so an
+    img2img mid-trajectory VP latent enters at the right sigma."""
+    from tests.test_pipeline import TINY, tiny_params
+    from sdtpu.pipeline import StableDiffusion
+    from sdtpu.tokenizer import SimpleTokenizer
+
+    sd = StableDiffusion(tiny_params(), TINY)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    out = sd.img2img(SimpleTokenizer(), "a rock", img, strength=0.5,
+                     n_steps=4, key=jax.random.PRNGKey(0), sampler="euler")
+    assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8
