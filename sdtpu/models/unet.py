@@ -291,10 +291,17 @@ def _use_fused_attn(s: int, c: int, n_head: int) -> bool:
     fused sublayer (bq=128) is 20.1ms vs 26.1ms for the unfused
     sublayer INCLUDING its LN/projection/split-merge glue (the r1 '14.8
     vs 18.0' reading compared the fused sublayer against the bare
-    attention core — glue-blind, superseded)."""
+    attention core — glue-blind, superseded).
+
+    The kernel keeps x, LN(x) and K/V for the WHOLE row in VMEM
+    (~8*S*C bytes + the [bq, S] f32 score tile), so the gate bounds
+    S*C at the measured-good 16384*320 point — at 2048px the 128^2
+    C=640 level compiles to 136MB > 128MB VMEM and must fall back to
+    the composite flash path."""
     from sdtpu.ops.dispatch import use_pallas
 
     return (use_pallas() and 256 <= s <= 16384 and s % 128 == 0
+            and s * c <= 16384 * 320
             and (c // n_head) % 8 == 0)
 
 

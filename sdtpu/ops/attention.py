@@ -57,10 +57,14 @@ def qkv_attention(
     # jit method): the full-K Pallas kernel is 3.5x XLA at the dominant
     # self-attention shape (s=4096, d=40, 2.09ms vs 7.37ms); XLA keeps
     # 77-key cross-attention (0.48ms vs 0.61ms pallas), the VAE's
-    # single-head d=512 (204 TF/s), short sequences, and additive-mask
-    # (CLIP causal) cases.
+    # single-head d=512 at 512px sizes (204 TF/s), short sequences, and
+    # additive-mask (CLIP causal) cases. Above s=8192 even large head
+    # dims go blockwise regardless: the XLA path materialises the
+    # [b, h, s, s] f32 score tensor (the 2048px VAE mid attention is
+    # 65536^2 x 4B = 17GB — a compile-time HBM OOM, not a slowdown).
     d_head = d // n_head
-    if (mask is None and sq >= 2048 and sk >= 2048 and d_head <= 160):
+    if (mask is None and sq >= 2048 and sk >= 2048
+            and (d_head <= 160 or sq >= 8192)):
         from sdtpu.ops.dispatch import use_pallas
 
         if use_pallas() and sq % min(512, sq) == 0 and (
