@@ -340,11 +340,14 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
     # fit the scoped-VMEM budget; shrink the q block before giving up.
     if nk > 1 and single_k is not False:
         for bq_c in (512, 256, 128):
+            # K/V blocks are double-buffered across the (b, i) grid even
+            # at nk == 1 (the 1024px VAE mid attention, d_pad=512, hit
+            # 64.75M of a 64.5M limit with a single-counted estimate)
             need = (bq_c * sk * 6                          # scores f32 + p
-                    + 2 * sk * d_pad * qp.dtype.itemsize   # K + V
-                    + 2 * bq_c * d_pad * 4)
+                    + 4 * sk * d_pad * qp.dtype.itemsize   # K + V, dbl-buf
+                    + 4 * bq_c * d_pad * 4)
             if sq % bq_c == 0 and (single_k
-                                   or need <= 56 * 1024 * 1024):
+                                   or need <= 80 * 1024 * 1024):
                 bq, bk, nq, nk = bq_c, sk, sq // bq_c, 1
                 break
     grid = (bh, nq, nk)
@@ -352,8 +355,10 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # Mosaic's default scoped limit is 16MB; the 512x1024 blocks +
-            # scratch just tip over it at sk>=16384 (16.06MB)
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # scratch just tip over it at sk>=16384 (16.06MB). 96MB gives
+            # the single-k-block path (whole-K/V blocks, double-buffered)
+            # headroom at d_pad=512 — 64MB was 256KB short there.
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * sq * sk * d_pad * 2,
