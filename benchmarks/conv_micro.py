@@ -35,6 +35,33 @@ def bench(fn, args, iters=8):
     return (tn - t1) / (iters - 1) * 1000
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def force_xla():
+    """Pin the self-dispatching model paths to XLA while timing the
+    baseline (ADVICE r2: _resnet_apply/upsample2x_conv auto-dispatch to
+    the fused kernels at these shapes, so an unguarded A/B compares
+    fused-vs-fused and future boundary re-measurements would be silently
+    corrupted)."""
+    keys = {
+        "SDTPU_FUSED_CONV_MIN_ROWS": str(1 << 30),
+        "SDTPU_FUSED_UP_MIN_ROWS": str(1 << 30),
+        "SDTPU_FUSED_GN": "0",
+    }
+    old = {k: os.environ.get(k) for k in keys}
+    os.environ.update(keys)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def main():
     from sdtpu.config import SD_V1_4
     from sdtpu.models import vae as V
@@ -60,7 +87,8 @@ def main():
               f"({flops/ms_pal/1e9:6.1f} TF/s)", flush=True)
 
         # full resnet: unfused oracle vs 2-kernel chain
-        ms_res_xla = bench(lambda x: V._resnet_apply(rp, x, cfg), (x,))
+        with force_xla():
+            ms_res_xla = bench(lambda x: V._resnet_apply(rp, x, cfg), (x,))
 
         def fused_resnet(x):
             s1, o1 = gn_scale_bias(x, rp["norm1"]["g"], rp["norm1"]["b"],
@@ -85,7 +113,8 @@ def main():
         x = jax.random.normal(key, (B, res, res, ch), dtype)
         cp = init_conv2d(key, ch, ch, 3, dtype=dtype)
         flops = 2 * B * (2 * res) ** 2 * ch * ch * 4  # subpixel effective
-        ms_sub = bench(lambda x: upsample2x_conv(cp, x), (x,))
+        with force_xla():
+            ms_sub = bench(lambda x: upsample2x_conv(cp, x), (x,))
         ms_pal = bench(lambda x: upsample2x_conv_fused(x, cp["w"], cp["b"]),
                        (x,))
         print(f"up2x {res:3d}->{2*res:3d} ch {ch:3d}: subpixel-XLA "

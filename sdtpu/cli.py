@@ -9,6 +9,7 @@ convert (reference: src/bin/convert/main.rs:36-58):
     convert <dump_path> <model_name>           # npy tree -> native
     convert --ckpt <sd.ckpt> <model_name>      # torch ckpt -> native
     convert --to-dump <native> <dump_path>     # native -> npy tree
+    convert --to-mpk <native> <mpk_path>       # native -> Burn NamedMpk
 
 Extra (sdtpu-only) flags for `sample`: --seed N for reproducible latents
 (the reference is unseeded, mod.rs:115-121), --preset sd-v1-4|sd-v1-5|
@@ -87,18 +88,26 @@ def sample_main(argv=None) -> None:
     sampler = "ddim"
     i = 1
     positional = [argv[0]]
+
+    def flag_value(idx: int) -> str:
+        # a value-taking flag as the final argument must produce a usage
+        # message, not an IndexError (ADVICE r2)
+        if idx + 1 >= len(argv):
+            _fail(f"Error: {argv[idx]} requires a value")
+        return argv[idx + 1]
+
     while i < len(argv):
         a = argv[i]
         if a == "--seed":
-            seed = int(argv[i + 1]); i += 2
+            seed = int(flag_value(i)); i += 2
         elif a == "--preset":
-            preset = argv[i + 1]; i += 2
+            preset = flag_value(i); i += 2
         elif a == "--bf16":
             bf16 = True; i += 1
         elif a == "--batch":
-            batch = int(argv[i + 1]); i += 2
+            batch = int(flag_value(i)); i += 2
         elif a == "--sampler":
-            sampler = argv[i + 1]; i += 2
+            sampler = flag_value(i); i += 2
             if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
                 _fail("Error: --sampler must be "
                       "ddim|dpmpp|euler|euler_a|heun")
@@ -183,8 +192,22 @@ def convert_main(argv=None) -> None:
         save_stable_diffusion_dump(params, argv[3], cfg)
         print(f"Dump tree written to {argv[3]}")
         return
+    if len(argv) == 4 and argv[1] == "--to-mpk":
+        # the reference convert binary's sole output direction
+        # (src/bin/convert/main.rs:32-37): emit a Burn NamedMpk record
+        # the reference `sample burn` path can load
+        from sdtpu.io.mpk import save_mpk
+
+        params, cfg = load_native(argv[2])
+        out = argv[3] if argv[3].endswith(".mpk") else f"{argv[3]}.mpk"
+        save_mpk(params, out)
+        print(f"Model saved to {out}")
+        return
     if len(argv) != 3:
-        _fail(f"Usage: {argv[0]} <dump_path> <model_name>")
+        _fail(f"Usage: {argv[0]} <dump_path> <model_name> | "
+              f"{argv[0]} --ckpt <sd.ckpt> <model_name> | "
+              f"{argv[0]} --to-dump <native> <dump_path> | "
+              f"{argv[0]} --to-mpk <native> <mpk_path>")
 
     from sdtpu.io.npy_tree import load_stable_diffusion_dump
 

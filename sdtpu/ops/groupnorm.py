@@ -33,7 +33,9 @@ def group_norm(x, gamma, beta, n_group: int, eps: float = 1e-5):
     var = (u * u).mean(axis=(1, 3), keepdims=True)
     normed = u * lax.rsqrt(var + eps)
     normed = normed.reshape(orig_shape).astype(x.dtype)
-    return normed * gamma + beta
+    # affine in the activation dtype: f32 gamma/beta on a bf16 path would
+    # promote the output (and everything downstream) back to f32
+    return normed * gamma.astype(x.dtype) + beta.astype(x.dtype)
 
 
 def group_norm_silu_op(x, gamma, beta, n_group: int, eps: float = 1e-5,
@@ -77,4 +79,4 @@ def layer_norm(x, gamma, beta, eps: float = 1e-5):
     u = xf - mean
     var = (u * u).mean(axis=-1, keepdims=True)
     normed = (u * lax.rsqrt(var + eps)).astype(x.dtype)
-    return normed * gamma + beta
+    return normed * gamma.astype(x.dtype) + beta.astype(x.dtype)

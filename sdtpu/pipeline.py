@@ -250,6 +250,34 @@ def _inpaint_impl(params, latent0, z0, m_lat, noise_key, ctx2, valid2,
     return lat
 
 
+def _cast_param_tree(params, dtype):
+    """Cast floating weight leaves to the compute dtype ONCE at load time.
+
+    An f32 checkpoint driven at bf16 would otherwise (a) upcast every
+    matmul operand pair to f32 (slow MXU path) even with the defensive
+    casts in ops/, and (b) re-read the weights as f32 and cast them
+    inside every jitted step — 2x the HBM weight traffic. Casting the
+    stored tree makes `sample.py --bf16` on loaded weights identical to
+    a natively-bf16 tree (VERDICT r2 weak #1).
+
+    `alphas_cumprod` stays f32: the DDIM/solver schedule math is f32 by
+    design (CLAUDE.md invariant), and a bf16 alpha ladder would corrupt
+    the sigma/lambda ladders for every sampler.
+    """
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.asarray(leaf, dtype)
+        return leaf
+
+    out = {}
+    for key, sub in params.items():
+        if key in ("alphas_cumprod", "n_steps"):
+            out[key] = sub
+        else:
+            out[key] = jax.tree_util.tree_map(cast, sub)
+    return out
+
+
 class StableDiffusion:
     """Owns the param pytree {clip, unet, autoencoder, alphas_cumprod,
     n_steps} (mirroring StableDiffusion's fields at mod.rs:41-48) and the
@@ -262,6 +290,8 @@ class StableDiffusion:
         compute_dtype=jnp.float32,
         pad_context: bool = True,
     ):
+        if compute_dtype != jnp.float32:
+            params = _cast_param_tree(params, compute_dtype)
         self.params = params
         self.config = config
         self.compute_dtype = compute_dtype

@@ -1,0 +1,37 @@
+"""CLI argument-surface tests (no model load): flag parsing must fail
+with usage messages, never tracebacks (ADVICE r2: a value-taking flag as
+the final argument used to raise IndexError)."""
+
+import pytest
+
+from sdtpu.cli import sample_main
+
+
+@pytest.mark.parametrize("flag", ["--sampler", "--seed", "--batch", "--preset"])
+def test_value_flag_at_end_gives_usage_error(flag, capsys):
+    with pytest.raises(SystemExit) as e:
+        sample_main(["sample", "dump", "model", "7.5", "20", "p", "out", flag])
+    assert e.value.code == 1
+    assert f"{flag} requires a value" in capsys.readouterr().err
+
+
+def test_bad_sampler_value(capsys):
+    with pytest.raises(SystemExit) as e:
+        sample_main(["sample", "--sampler", "plms", "dump", "model",
+                     "7.5", "20", "p", "out"])
+    assert e.value.code == 1
+    assert "--sampler must be" in capsys.readouterr().err
+
+
+def test_wrong_positional_count(capsys):
+    with pytest.raises(SystemExit) as e:
+        sample_main(["sample", "dump", "model"])
+    assert e.value.code == 1
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_bad_guidance_scale(capsys):
+    with pytest.raises(SystemExit) as e:
+        sample_main(["sample", "dump", "model", "abc", "20", "p", "out"])
+    assert e.value.code == 1
+    assert "Invalid unconditional guidance scale" in capsys.readouterr().err
