@@ -134,15 +134,23 @@ def main():
         np.asarray(jnp.sum(lat))  # scalar sync
         return lat
 
-    decode_dev = jax.jit(
-        lambda p, lat: jnp.max(sd._decode_to_u8(p, lat).astype(jnp.int32)))
+    # decode through the SAME module-level jit that latent_to_image uses
+    # (a bespoke reduce-to-scalar jit here cost a second, nearly identical
+    # 40s+ remote compile of the whole VAE decode — half the cold decode
+    # compile time for zero benefit). Sync via a 3-byte corner fetch.
+    from sdtpu.pipeline import _decode_u8_impl
+
+    def run_decode():
+        img = _decode_u8_impl(sd.params, lat, config=cfg,
+                              compute_dtype=dtype)
+        np.asarray(img[0, 0, 0])  # tiny fetch = device sync
 
     # compile
     t0 = time.perf_counter()
     lat = run_latent()
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np.asarray(decode_dev(sd.params, lat))
+    run_decode()
     decode_compile_s = time.perf_counter() - t0
 
     # timed: per-iteration, reporting min AND mean — the tunneled TPU
@@ -161,13 +169,13 @@ def main():
     decode_ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        np.asarray(decode_dev(sd.params, lat))
+        run_decode()
         decode_ts.append(time.perf_counter() - t0)
     decode_s = min(decode_ts)
     decode_s_mean = sum(decode_ts) / iters
 
-    # image readback over the tunnel, reported separately (warm the
-    # full-image decode jit first so its compile isn't counted)
+    # image readback over the tunnel, reported separately (same compiled
+    # decode, full-tensor np.asarray instead of the corner fetch)
     img = sd.latent_to_image(lat)
     t0 = time.perf_counter()
     img = sd.latent_to_image(lat)

@@ -208,7 +208,7 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
 
 # ------------------------------------------------------------ apply
 
-def _use_fused_resblock(x) -> bool:
+def _use_fused_resblock(x, c_extra: int = 0) -> bool:
     """UNet ResBlock fused-conv dispatch. Measured (v5e, B=8, isolated
     graphs): XLA WINS at the 512px UNet maps — 1.12 vs 1.36ms at
     64^2x320, 1.32 vs 2.34 at 64^2x640->320 (concat input), 1.05 vs 1.04
@@ -224,13 +224,23 @@ def _use_fused_resblock(x) -> bool:
         return False
     b, h, w, c = x.shape
     min_rows = int(os.environ.get("SDTPU_FUSED_UNET_MIN_ROWS", str(1 << 14)))
-    return use_pallas() and c % 8 == 0 and h % 8 == 0 and h * w >= min_rows
+    return (use_pallas() and (c + c_extra) % 8 == 0 and c % 8 == 0
+            and h % 8 == 0 and h * w >= min_rows)
 
 
-def _res_block_apply(p, x, emb, cfg: UNetConfig, emit_stats=False):
+def _res_block_apply(p, x, emb, cfg: UNetConfig, emit_stats=False,
+                     skip=None):
     """reference: unet/mod.rs:713-733. emit_stats: also return the
     per-channel (sum, sum^2) of the output (fused path; None on the
     XLA path) for the next consumer's GroupNorm.
+
+    skip: optional up-path skip tensor — logically the block input is
+    concat([x, skip], channels) (unet/mod.rs:205-216), but on the fused
+    path the concat is NEVER materialised: the kernel runs its tap loop
+    once per part (conv of a channel-concat == sum of two convs), the
+    GroupNorm stats come from the two parts' channel partials, and the
+    1x1 skip_connection is two matmuls. Saves a full write+read of the
+    concat map per up ResBlock.
 
     Fused path: the timestep-embedding add between conv_in and norm_out
     is never materialised — h1+e's GroupNorm statistics are derived from
@@ -240,15 +250,31 @@ def _res_block_apply(p, x, emb, cfg: UNetConfig, emit_stats=False):
     (scale*(x+e)+bias == scale*x + (bias+scale*e), all per-(batch,
     channel)) — bit-equivalent up to fp order."""
     e = linear(p["lin_embed"], silu(emb))  # [B?, c_out]
-    if _use_fused_resblock(x):
+    c_extra = skip.shape[-1] if skip is not None else 0
+    if _use_fused_resblock(x, c_extra):
         from sdtpu.ops.fused_conv import (conv3x3_fused, gn_scale_bias,
                                           stats_scale_bias)
 
         rows = x.shape[1] * x.shape[2]
-        s1, o1 = gn_scale_bias(x, p["norm_in"]["g"], p["norm_in"]["b"],
-                               cfg.groupnorm_groups, cfg.groupnorm_eps)
-        h1, st = conv3x3_fused(x, p["conv_in"]["w"], p["conv_in"]["b"],
-                               s1, o1, emit_stats=True)
+        c1 = x.shape[-1]
+        if skip is None:
+            s1, o1 = gn_scale_bias(x, p["norm_in"]["g"], p["norm_in"]["b"],
+                                   cfg.groupnorm_groups, cfg.groupnorm_eps)
+            h1, st = conv3x3_fused(x, p["conv_in"]["w"], p["conv_in"]["b"],
+                                   s1, o1, emit_stats=True)
+        else:
+            from sdtpu.ops.fused_groupnorm import channel_partials
+
+            sums = jnp.concatenate(
+                [channel_partials(x), channel_partials(skip)], axis=-1)
+            s1, o1 = stats_scale_bias(sums, rows, p["norm_in"]["g"],
+                                      p["norm_in"]["b"],
+                                      cfg.groupnorm_groups, cfg.groupnorm_eps)
+            h1, st = conv3x3_fused(
+                x, p["conv_in"]["w"], p["conv_in"]["b"],
+                s1[:, :c1], o1[:, :c1], emit_stats=True,
+                x2=skip, prologue_scale2=s1[:, c1:],
+                prologue_bias2=o1[:, c1:])
         ef = e.astype(jnp.float32)  # [B, c_out]
         st = jnp.stack([st[:, 0] + rows * ef,
                         st[:, 1] + 2.0 * ef * st[:, 0] + rows * ef * ef],
@@ -257,10 +283,20 @@ def _res_block_apply(p, x, emb, cfg: UNetConfig, emit_stats=False):
                                   p["norm_out"]["b"], cfg.groupnorm_groups,
                                   cfg.groupnorm_eps)
         o2 = o2 + s2 * ef  # prologue absorbs the (un-stored) emb add
-        res = (conv2d(p["skip_connection"], x, padding=0)
-               if "skip_connection" in p else x)
+        if skip is None:
+            res = (conv2d(p["skip_connection"], x, padding=0)
+                   if "skip_connection" in p else x)
+        else:
+            # 1x1 conv over the implicit concat = two channel matmuls
+            wsk = p["skip_connection"]["w"][0, 0]  # [c1+c2, co]
+            res = (jnp.einsum("bhwc,co->bhwo", x, wsk[:c1].astype(x.dtype))
+                   + jnp.einsum("bhwc,co->bhwo", skip,
+                                wsk[c1:].astype(x.dtype)))
+            res = res + p["skip_connection"]["b"].astype(res.dtype)
         return conv3x3_fused(h1, p["conv_out"]["w"], p["conv_out"]["b"],
                              s2, o2, residual=res, emit_stats=emit_stats)
+    if skip is not None:
+        x = jnp.concatenate([x, skip], axis=-1)
     h = group_norm_silu_op(x, p["norm_in"]["g"], p["norm_in"]["b"], cfg.groupnorm_groups, cfg.groupnorm_eps)
     h = conv2d(p["conv_in"], h, padding=1)
     h = h + e[:, None, None, :]
@@ -418,7 +454,8 @@ def _transformer_apply(p, x, context, cfg: UNetConfig, n_head, ctx_valid=None,
     return x_in + conv2d(p["proj_out"], x, padding=0)
 
 
-def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid):
+def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid,
+                 skip=None):
     if spec.kind == "conv":
         return conv2d(p, x, padding=1)
     if spec.kind == "down":
@@ -427,11 +464,12 @@ def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid):
     if spec.transformer:
         # thread the resblock's output stats into the transformer's
         # entry GroupNorm (fused path only; st is None otherwise)
-        x, st = _res_block_apply(res_p, x, emb, cfg, emit_stats=True)
+        x, st = _res_block_apply(res_p, x, emb, cfg, emit_stats=True,
+                                 skip=skip)
         x = _transformer_apply(p["transformer"], x, context, cfg,
                                spec.n_head, ctx_valid, in_stats=st)
     else:
-        x = _res_block_apply(res_p, x, emb, cfg)
+        x = _res_block_apply(res_p, x, emb, cfg, skip=skip)
     if spec.upsample:
         # fused subpixel form of nearest-2x + conv3x3 (see ops/conv.py)
         x = upsample2x_conv(p["upsample"]["conv"], x)
@@ -463,8 +501,11 @@ def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None):
 
     out_specs, _ = build_output_specs(cfg)
     for spec in out_specs:
-        h = jnp.concatenate([h, skips.pop()], axis=-1)
-        h = _block_apply(params["output_blocks"][spec.name], spec, h, emb, context, cfg, ctx_valid)
+        # the skip is passed SEPARATELY: the fused resblock folds the
+        # channel-concat into its tap loop (see _res_block_apply);
+        # the XLA path concatenates internally as before
+        h = _block_apply(params["output_blocks"][spec.name], spec, h, emb,
+                         context, cfg, ctx_valid, skip=skips.pop())
 
     h = group_norm(h, params["norm_out"]["g"], params["norm_out"]["b"],
                    cfg.groupnorm_groups, cfg.groupnorm_eps)

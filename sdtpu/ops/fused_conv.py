@@ -41,12 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, hal_ref, w_ref, cb_ref, ps_ref, pb_ref, res_ref,
-            o_ref, st_ref, *, bh, W, H, silu, prologue, residual,
-            emit_stats):
-    j = pl.program_id(1)
-    cdt = x_ref.dtype
+def _conv_part(x_ref, hal_ref, w_ref, ps_ref, pb_ref, acc, *, j, bh, W, H,
+               silu, prologue, kpack=False):
+    """Accumulate the 9 shifted-tap matmuls of one input tensor into acc.
 
+    conv3x3(concat([a, b], channels)) == conv3x3(a, W[:, :, :Ca]) +
+    conv3x3(b, W[:, :, Ca:]), so a channel-concat input is just this
+    function called once per part — the concat itself never exists,
+    in HBM or VMEM (the skip-concat fold of the UNet up path).
+    """
+    cdt = x_ref.dtype
     top = hal_ref[0, 0, 0:1]     # row j*bh - 1 (zeros-synthetic at j=0)
     bot = hal_ref[0, 0, 1:2]     # row j*bh + bh (zeros-synthetic at last j)
     xin = jnp.concatenate([top, x_ref[0], bot], axis=0)  # [bh+2, W, C]
@@ -63,19 +67,46 @@ def _kernel(x_ref, hal_ref, w_ref, cb_ref, ps_ref, pb_ref, res_ref,
     zc = jnp.zeros((bh + 2, 1, xin.shape[-1]), cdt)
     xp = jnp.concatenate([zc, xin, zc], axis=1)  # [bh+2, W+2, C]
 
-    co = o_ref.shape[-1]
     # hoist the 3 column shifts out of the tap loop: 3 sublane-shift
     # copies instead of 9; the dy slices below index the UNTILED leading
     # dim (free views), and the 3-D dot keeps [bh, W] as M dims with no
     # reshape relayout
+    if kpack:
+        # K-packed variant: stack the 3 row shifts along channels and run
+        # 3 dots at K=3C instead of 9 at K=C — trades one [bh, W+2, 3C]
+        # VMEM concat for 6 fewer f32 accumulator read/write rounds.
+        # w_ref here is [3, 3C, Co] (dx-major; rows stacked on K).
+        xcat = jnp.concatenate([xp[dy:dy + bh] for dy in range(3)], axis=-1)
+        for dx in range(3):
+            acc = acc + jax.lax.dot_general(
+                xcat[:, dx:dx + W], w_ref[dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
     xcols = [xp[:, dx:dx + W, :] for dx in range(3)]
-    acc = jnp.zeros((bh, W, co), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             acc = acc + jax.lax.dot_general(
                 xcols[dx][dy:dy + bh], w_ref[dy, dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel(x_ref, hal_ref, x2_ref, hal2_ref, w_ref, w2_ref, cb_ref,
+            ps_ref, pb_ref, ps2_ref, pb2_ref, res_ref,
+            o_ref, st_ref, *, bh, W, H, silu, prologue, residual,
+            emit_stats, dual, kpack=False):
+    j = pl.program_id(1)
+    co = o_ref.shape[-1]
+    acc = jnp.zeros((bh, W, co), jnp.float32)
+    acc = _conv_part(x_ref, hal_ref, w_ref, ps_ref, pb_ref, acc,
+                     j=j, bh=bh, W=W, H=H, silu=silu, prologue=prologue,
+                     kpack=kpack)
+    if dual:
+        acc = _conv_part(x2_ref, hal2_ref, w2_ref, ps2_ref, pb2_ref, acc,
+                         j=j, bh=bh, W=W, H=H, silu=silu, prologue=prologue,
+                         kpack=kpack)
     acc = acc + cb_ref[0]
     if residual:
         acc = acc + res_ref[0].astype(jnp.float32)
@@ -103,12 +134,27 @@ def _pick_bh(h, w, c, co, itemsize):
     return bh
 
 
+def _build_halo(x, bh, nblk):
+    """[B, nblk, 2, W, C]: [..., 0] = row j*bh - 1, [..., 1] = row j*bh + bh
+    (zeros-synthetic outside the image)."""
+    b, h, wd, c = x.shape
+    zrow = jnp.zeros((b, 1, wd, c), x.dtype)
+    if nblk > 1:
+        top = jnp.concatenate([zrow, x[:, bh - 1:h - 1:bh]], axis=1)
+        bot = jnp.concatenate([x[:, bh::bh], zrow], axis=1)
+    else:
+        top, bot = zrow, zrow
+    return jnp.stack([top, bot], axis=2)
+
+
 @functools.partial(jax.jit, static_argnames=("silu", "emit_stats", "block_h",
-                                             "interpret"))
+                                             "interpret", "kpack"))
 def conv3x3_fused(x, w, conv_bias, prologue_scale=None, prologue_bias=None,
                   residual=None, silu: bool = True,
                   emit_stats: bool = False, block_h: int = 0,
-                  interpret: bool = False):
+                  interpret: bool = False, x2=None,
+                  prologue_scale2=None, prologue_bias2=None,
+                  kpack: bool = False):
     """x: [B, H, W, C] NHWC; w: [3, 3, C, Co] HWIO; conv_bias: [Co].
 
     prologue_scale/bias: optional [B, C] per-(batch, channel) affine
@@ -117,35 +163,65 @@ def conv3x3_fused(x, w, conv_bias, prologue_scale=None, prologue_bias=None,
     residual: optional [B, H, W, Co] added to the conv output.
     emit_stats: also return [B, 2, Co] per-channel (sum, sum^2) of the
     f32 conv output — feed `stats_scale_bias` to fold the NEXT GroupNorm.
+    x2: optional second input [B, H, W, C2]; the kernel then computes
+    conv3x3 over the IMPLICIT channel-concat [x, x2] with
+    w: [3, 3, C+C2, Co] — the UNet up-path skip-concat never touches HBM
+    (unet/mod.rs:205-216 pops + cats the skip before every up ResBlock).
+    prologue_scale2/bias2: the x2 channel slice of the folded GroupNorm.
 
     Returns y [B, H, W, Co] (and stats if emit_stats).
     """
     b, h, wd, c = x.shape
     co = w.shape[-1]
-    assert w.shape[:3] == (3, 3, c), (w.shape, c)
+    dual = x2 is not None
+    c2 = x2.shape[-1] if dual else 0
+    assert w.shape[:3] == (3, 3, c + c2), (w.shape, c, c2)
     prologue = prologue_scale is not None
     has_res = residual is not None
 
-    bh = block_h or _pick_bh(h, wd, c, co, x.dtype.itemsize)
+    bh = block_h or _pick_bh(h, wd, c + c2, co, x.dtype.itemsize)
     assert h % bh == 0, (h, bh)
     nblk = h // bh
 
-    # halo rows: [..., 0] = row j*bh - 1, [..., 1] = row j*bh + bh
-    zrow = jnp.zeros((b, 1, wd, c), x.dtype)
-    if nblk > 1:
-        top = jnp.concatenate([zrow, x[:, bh - 1:h - 1:bh]], axis=1)
-        bot = jnp.concatenate([x[:, bh::bh], zrow], axis=1)
-    else:
-        top, bot = zrow, zrow
-    halo = jnp.stack([top, bot], axis=2)  # [B, nblk, 2, W, C]
+    halo = _build_halo(x, bh, nblk)
 
     cdt = x.dtype
-    if prologue:
-        ps = prologue_scale.astype(jnp.float32).reshape(b, 1, c)
-        pb = prologue_bias.astype(jnp.float32).reshape(b, 1, c)
+
+    def fold(ps_, pb_, cc):
+        if prologue:
+            return (ps_.astype(jnp.float32).reshape(b, 1, cc),
+                    pb_.astype(jnp.float32).reshape(b, 1, cc))
+        z = jnp.zeros((b, 1, cc), jnp.float32)
+        return z, z
+
+    def pack(wp):
+        """[3, 3, Ck, Co] -> [3, 3Ck, Co], dx-major, rows stacked on K
+        (matches the kernel's xcat channel order dy=0,1,2)."""
+        return jnp.stack([jnp.concatenate([wp[0, dx], wp[1, dx], wp[2, dx]],
+                                          axis=0) for dx in range(3)])
+
+    ps, pb = fold(prologue_scale, prologue_bias, c)
+    w1 = w[:, :, :c].astype(cdt)
+    if kpack:
+        w1 = pack(w1)
+    if dual:
+        xb = x2
+        halo2 = _build_halo(x2, bh, nblk)
+        ps2, pb2 = fold(prologue_scale2, prologue_bias2, c2)
+        w2 = w[:, :, c:].astype(cdt)
+        if kpack:
+            w2 = pack(w2)
+        x2_spec = pl.BlockSpec((1, bh, wd, c2), lambda i, j: (i, j, 0, 0))
+        h2_spec = pl.BlockSpec((1, 1, 2, wd, c2), lambda i, j: (i, j, 0, 0, 0))
     else:
-        ps = jnp.zeros((b, 1, c), jnp.float32)
-        pb = ps
+        xb = jnp.zeros((b, 1, 1, 8), cdt)
+        halo2 = jnp.zeros((b, 1, 2, 1, 8), cdt)
+        ps2 = pb2 = jnp.zeros((b, 1, 8), jnp.float32)
+        w2 = (jnp.zeros((3, 24, co), cdt) if kpack
+              else jnp.zeros((3, 3, 8, co), cdt))
+        x2_spec = pl.BlockSpec((1, 1, 1, 8), lambda i, j: (i, 0, 0, 0))
+        h2_spec = pl.BlockSpec((1, 1, 2, 1, 8), lambda i, j: (i, 0, 0, 0, 0))
+
     res = residual if has_res else jnp.zeros((b, 1, 1, co), cdt)
     res_spec = (pl.BlockSpec((1, bh, wd, co), lambda i, j: (i, j, 0, 0))
                 if has_res else
@@ -156,15 +232,23 @@ def conv3x3_fused(x, w, conv_bias, prologue_scale=None, prologue_bias=None,
     outs = pl.pallas_call(
         functools.partial(_kernel, bh=bh, W=wd, H=h, silu=silu,
                           prologue=prologue, residual=has_res,
-                          emit_stats=emit_stats),
+                          emit_stats=emit_stats, dual=dual, kpack=kpack),
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec((1, bh, wd, c), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 2, wd, c), lambda i, j: (i, j, 0, 0, 0)),
-            pl.BlockSpec((3, 3, c, co), lambda i, j: (0, 0, 0, 0)),
+            x2_spec,
+            h2_spec,
+            (pl.BlockSpec((3, 3 * c, co), lambda i, j: (0, 0, 0)) if kpack
+             else pl.BlockSpec((3, 3, c, co), lambda i, j: (0, 0, 0, 0))),
+            (pl.BlockSpec(w2.shape, lambda i, j: (0, 0, 0)) if kpack
+             else pl.BlockSpec((3, 3, w2.shape[2], co),
+                               lambda i, j: (0, 0, 0, 0))),
             pl.BlockSpec((1, co), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, ps2.shape[-1]), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, pb2.shape[-1]), lambda i, j: (i, 0, 0)),
             res_spec,
         ],
         out_specs=(pl.BlockSpec((1, bh, wd, co), lambda i, j: (i, j, 0, 0)),
@@ -175,13 +259,14 @@ def conv3x3_fused(x, w, conv_bias, prologue_scale=None, prologue_bias=None,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * wd * c * co * 9,
-            bytes_accessed=(b * h * wd * (c + co) + 9 * c * co) * cdt.itemsize,
-            transcendentals=b * h * wd * c if (prologue and silu) else 0,
+            flops=2 * b * h * wd * (c + c2) * co * 9,
+            bytes_accessed=(b * h * wd * (c + c2 + co) + 9 * (c + c2) * co)
+                           * cdt.itemsize,
+            transcendentals=b * h * wd * (c + c2) if (prologue and silu) else 0,
         ),
         interpret=interpret,
-    )(x, halo, w.astype(cdt), conv_bias.astype(jnp.float32)[None, :],
-      ps, pb, res)
+    )(x, halo, xb, halo2, w1, w2, conv_bias.astype(jnp.float32)[None, :],
+      ps, pb, ps2, pb2, res)
     y, stats = outs
     if emit_stats:
         return y, stats.sum(axis=1)  # [B, 2, Co]

@@ -259,3 +259,84 @@ def test_bf16_path():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_dual_input_conv_matches_concat():
+    """conv3x3_fused(x, ..., x2=skip) == conv3x3 over the explicit
+    channel-concat (the skip-concat fold: conv of a concat is the sum of
+    two convs over the parts)."""
+    x = _rand((2, 16, 16, 128))
+    skip = _rand((2, 16, 16, 64))
+    p = _conv_params(192, 96)
+
+    want = conv2d(p, jnp.concatenate([x, skip], axis=-1), padding=1)
+    got = conv3x3_fused(x, p["w"], p["b"], silu=False, block_h=8,
+                        interpret=True, x2=skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dual_input_gn_prologue_and_stats():
+    """Dual-input with the folded GroupNorm prologue split across the two
+    channel parts + emitted stats == gn+silu+conv over the concat."""
+    from sdtpu.ops.fused_groupnorm import channel_partials
+
+    x = _rand((1, 24, 16, 128))
+    skip = _rand((1, 24, 16, 128))
+    cat = jnp.concatenate([x, skip], axis=-1)
+    g, b = _rand((256,)), _rand((256,))
+    p = _conv_params(256, 128)
+
+    h = group_norm(cat, g, b, 32, 1e-5)
+    want = conv2d(p, silu(h), padding=1)
+
+    sums = jnp.concatenate([channel_partials(x, interpret=True),
+                            channel_partials(skip, interpret=True)], axis=-1)
+    s, o = stats_scale_bias(sums, 24 * 16, g, b, 32, 1e-5)
+    got, st = conv3x3_fused(x, p["w"], p["b"], s[:, :128], o[:, :128],
+                            emit_stats=True, block_h=8, interpret=True,
+                            x2=skip, prologue_scale2=s[:, 128:],
+                            prologue_bias2=o[:, 128:])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    wf = np.asarray(want, np.float64)
+    np.testing.assert_allclose(np.asarray(st[:, 0]),
+                               wf.sum(axis=(1, 2)), rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(st[:, 1]),
+                               (wf * wf).sum(axis=(1, 2)), rtol=1e-3,
+                               atol=1e-2)
+
+
+def test_unet_resblock_skip_fold(monkeypatch):
+    """Up-path ResBlock with a separately-passed skip (fused: concat
+    never materialised, 1x1 skip_connection as two matmuls) == the XLA
+    path over the explicit concat."""
+    import functools as ft
+
+    import sdtpu.ops.dispatch as dispatch
+    import sdtpu.ops.fused_conv as fc
+    import sdtpu.ops.fused_groupnorm as fgn
+    from sdtpu.config import UNetConfig
+    from sdtpu.models import unet as U
+
+    cfg = UNetConfig()
+    p = U._init_res_block(jax.random.PRNGKey(5), 192, cfg.time_embed_dim,
+                          96, jnp.float32)
+    x = _rand((2, 16, 16, 128))
+    skip = _rand((2, 16, 16, 64))
+    emb = _rand((2, cfg.time_embed_dim))
+
+    want = U._res_block_apply(p, x, emb, cfg, skip=skip)  # CPU -> XLA path
+
+    monkeypatch.setenv("SDTPU_FUSED_CONV_MIN_ROWS", "1")
+    monkeypatch.setenv("SDTPU_FUSED_UNET_MIN_ROWS", "1")
+    monkeypatch.setattr(dispatch, "use_pallas", lambda: True)
+    monkeypatch.setattr(fc, "conv3x3_fused",
+                        ft.partial(fc.conv3x3_fused, interpret=True))
+    monkeypatch.setattr(fc, "gn_scale_bias",
+                        ft.partial(fc.gn_scale_bias, interpret=True))
+    monkeypatch.setattr(fgn, "channel_partials",
+                        ft.partial(fgn.channel_partials, interpret=True))
+    got = U._res_block_apply(p, x, emb, cfg, skip=skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
