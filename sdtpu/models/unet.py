@@ -249,7 +249,15 @@ def _res_block_apply(p, x, emb, cfg: UNetConfig, emit_stats=False,
     normalize-affine of the second conv's prologue absorbs e
     (scale*(x+e)+bias == scale*x + (bias+scale*e), all per-(batch,
     channel)) — bit-equivalent up to fp order."""
+    import os
+
     e = linear(p["lin_embed"], silu(emb))  # [B?, c_out]
+    if (skip is not None
+            and os.environ.get("SDTPU_SKIP_FOLD", "1") in ("0", "false")):
+        # A/B knob: materialise the concat and take the single-input
+        # fused path (isolates the fold's contribution in-context)
+        x = jnp.concatenate([x, skip], axis=-1)
+        skip = None
     c_extra = skip.shape[-1] if skip is not None else 0
     if _use_fused_resblock(x, c_extra):
         from sdtpu.ops.fused_conv import (conv3x3_fused, gn_scale_bias,
