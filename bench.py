@@ -89,15 +89,23 @@ def main():
     # weak #1 regression check).
     init_dtype = (jnp.float32 if os.environ.get("SDTPU_BENCH_F32_LOAD")
                   else dtype)
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     t0 = time.perf_counter()
-    params = {
-        "clip": init_clip(k1, cfg.clip, dtype=init_dtype),
-        "unet": init_unet(k2, cfg.unet, dtype=init_dtype),
-        "autoencoder": init_autoencoder(k3, cfg.vae, dtype=init_dtype),
-        "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
-        "n_steps": 1000,
-    }
+
+    # one jitted init = ONE (cacheable) remote compile instead of ~75
+    # per-shape jax.random compiles — measured ~80s of init_s on the
+    # tunneled TPU (BENCHLOG r3 cold-compile attribution)
+    @jax.jit
+    def _build(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "clip": init_clip(k1, cfg.clip, dtype=init_dtype),
+            "unet": init_unet(k2, cfg.unet, dtype=init_dtype),
+            "autoencoder": init_autoencoder(k3, cfg.vae, dtype=init_dtype),
+            "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
+        }
+
+    params = _build(jax.random.PRNGKey(0))
+    params["n_steps"] = 1000
     jax.block_until_ready(params["unet"])
     init_s = time.perf_counter() - t0
 

@@ -484,13 +484,21 @@ def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid,
     return x
 
 
-def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None):
+def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None,
+               remat: bool = False):
     """x: [B, h, w, in_ch] NHWC latent; t: scalar (or [1]) timestep;
     context: [B, S, context_dim]; ctx_valid: optional [B, S] bool marking
     real context tokens (static-shape fast path).
 
+    remat: rematerialise each block in the backward pass
+    (jax.checkpoint at block granularity) — training-time memory drops
+    from every-intermediate to one activation per block boundary, at the
+    cost of one extra forward. Inference paths never set it.
+
     Returns epsilon prediction [B, h, w, out_ch].
     """
+    block = (jax.checkpoint(_block_apply, static_argnums=(1, 5))
+             if remat else _block_apply)
     dtype = x.dtype
     t_emb = timestep_embedding(t, cfg.model_channels, cfg.max_period, dtype=dtype)
     emb = linear(params["lin2_time_embed"], silu(linear(params["lin1_time_embed"], t_emb)))
@@ -498,22 +506,25 @@ def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None):
     skips = []
     h = x
     for spec in build_input_specs(cfg):
-        h = _block_apply(params["input_blocks"][spec.name], spec, h, emb, context, cfg, ctx_valid)
+        h = block(params["input_blocks"][spec.name], spec, h, emb, context, cfg, ctx_valid)
         skips.append(h)
 
-    m = params["middle_block"]
-    mid_heads = cfg.heads_for(h.shape[-1])
-    h = _res_block_apply(m["res1"], h, emb, cfg)
-    h = _transformer_apply(m["transformer"], h, context, cfg, mid_heads, ctx_valid)
-    h = _res_block_apply(m["res2"], h, emb, cfg)
+    def _mid(m, h, emb, context, ctx_valid):
+        mid_heads = cfg.heads_for(h.shape[-1])
+        h = _res_block_apply(m["res1"], h, emb, cfg)
+        h = _transformer_apply(m["transformer"], h, context, cfg, mid_heads, ctx_valid)
+        return _res_block_apply(m["res2"], h, emb, cfg)
+
+    h = (jax.checkpoint(_mid) if remat else _mid)(
+        params["middle_block"], h, emb, context, ctx_valid)
 
     out_specs, _ = build_output_specs(cfg)
     for spec in out_specs:
         # the skip is passed SEPARATELY: the fused resblock folds the
         # channel-concat into its tap loop (see _res_block_apply);
         # the XLA path concatenates internally as before
-        h = _block_apply(params["output_blocks"][spec.name], spec, h, emb,
-                         context, cfg, ctx_valid, skip=skips.pop())
+        h = block(params["output_blocks"][spec.name], spec, h, emb,
+                  context, cfg, ctx_valid, skips.pop())
 
     h = group_norm(h, params["norm_out"]["g"], params["norm_out"]["b"],
                    cfg.groupnorm_groups, cfg.groupnorm_eps)

@@ -340,6 +340,14 @@ def upsample2x_conv_fused(x, w, conv_bias, emit_stats: bool = False,
 
     if block_h:
         bh = block_h
+    elif co <= 256 and h % 8 == 0:
+        # measured (benchmarks/up2x_bh_ab.py, interleaved min-of-3, v5e):
+        # at 256->512 c256 bh=8 beats the VMEM-derived pick 5.79 vs
+        # 6.31ms (+9%) — small row blocks keep the 4-phase interleaved
+        # writes cache-resident when the channel dim is narrow. At
+        # c512 shapes the larger pick stays best (128->256: 4.52 vs
+        # 4.87ms), so the rule is gated on co.
+        bh = 8
     else:
         budget = 72 * 1024 * 1024
         it = x.dtype.itemsize

@@ -26,12 +26,16 @@ def q_sample(x0, noise, alphas_cumprod, t):
 
 
 def diffusion_loss(unet_params, cfg: StableDiffusionConfig, latents, context, t, noise,
-                   ctx_valid=None, compute_dtype=jnp.float32):
+                   ctx_valid=None, compute_dtype=jnp.float32, remat=False):
     """MSE between the UNet prediction and the target (epsilon, or v for
-    v-prediction models). latents: [B,h,w,4], t: [B] int32."""
+    v-prediction models). latents: [B,h,w,4], t: [B] int32.
+    remat: block-granular jax.checkpoint in the UNet — cuts the stored
+    activations to one per block boundary (a full SD v1 f32 train step
+    does not fit a 16GB chip without it) for one extra forward pass."""
     x_t = q_sample(latents, noise, cfg_alphas(cfg), t)
     pred = unet_apply(unet_params, x_t.astype(compute_dtype), t,
-                      context.astype(compute_dtype), cfg.unet, ctx_valid=ctx_valid)
+                      context.astype(compute_dtype), cfg.unet,
+                      ctx_valid=ctx_valid, remat=remat)
     pred = pred.astype(jnp.float32)
     if cfg.prediction_type == "v":
         a_t = jnp.asarray(cfg_alphas(cfg))[t].reshape(-1, 1, 1, 1)
@@ -81,13 +85,13 @@ def ema_update(ema_params, params, decay: float = 0.9999):
 
 
 def make_train_step(cfg: StableDiffusionConfig, optimizer: optax.GradientTransformation,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, remat: bool = False):
     """Returns train_step(unet_params, opt_state, batch, key) ->
     (params, opt_state, loss). batch = (latents, context)."""
 
     def loss_fn(p, latents, context, t, noise):
         return diffusion_loss(p, cfg, latents, context, t, noise,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, remat=remat)
 
     def train_step(params, opt_state, batch, key):
         latents, context = batch

@@ -153,3 +153,33 @@ def test_training_reduces_loss():
                                           jax.random.PRNGKey(42))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+def test_remat_train_step_matches_exact():
+    """remat=True (block-granular jax.checkpoint) must be semantically
+    invisible: same loss and same gradients as the exact backward (up to
+    fp reassociation of the recomputed forward)."""
+    import numpy as np
+
+    from sdtpu.training import diffusion_loss
+
+    params = tiny_params()["unet"]
+    latents = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    context = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+    t = jnp.asarray([3, 500])
+    noise = jax.random.normal(jax.random.PRNGKey(2), latents.shape)
+
+    outs = {}
+    for remat in (False, True):
+        loss, grads = jax.jit(jax.value_and_grad(
+            lambda p: diffusion_loss(p, SD_TINY, latents, context, t,
+                                     noise, remat=remat)))(params)
+        outs[remat] = (float(loss), grads)
+
+    assert np.isclose(outs[False][0], outs[True][0], rtol=1e-6), (
+        outs[False][0], outs[True][0])
+    ge = jax.tree_util.tree_leaves(outs[False][1])
+    gr = jax.tree_util.tree_leaves(outs[True][1])
+    for x, y in zip(ge, gr):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = np.abs(x).max() + 1e-12
+        np.testing.assert_allclose(y / scale, x / scale, atol=1e-5)
