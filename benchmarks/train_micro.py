@@ -46,7 +46,7 @@ def main():
     print(f"params: {n_params/1e6:.1f}M (f32 master + f32 AdamW m/v)",
           flush=True)
 
-    for batch, remat in ((4, False), (4, True), (8, True)):
+    for batch, remat in ((4, False), (4, True), (2, True), (1, True)):
         step = jax.jit(
             make_train_step(cfg, opt, compute_dtype=jnp.bfloat16,
                             remat=remat),
@@ -82,13 +82,17 @@ def main():
         except Exception as e:
             print(f"batch {batch} remat={remat}: FAIL {str(e)[:140]}",
                   flush=True)
-            # donated buffers are consumed even on failure — rebuild
+            # donated buffers are consumed even on failure — drop every
+            # reference (incl. the compiled executable) before rebuilding
+            import gc
+
+            del p, o, step, params, opt_state
+            gc.collect()
             params = jax.jit(
                 lambda k: init_unet(k, cfg.unet, dtype=jnp.float32))(
                 jax.random.PRNGKey(0))
             opt_state = jax.jit(opt.init)(params)
             jax.block_until_ready(opt_state)
-            p, o = params, opt_state
 
 
 if __name__ == "__main__":

@@ -8,10 +8,16 @@ SDTPU_KERNELS env var: "xla" (portable default off-TPU), "pallas"
 
 from __future__ import annotations
 
+import contextlib
 import os
 from functools import lru_cache
 
 import jax
+
+# depth of active force_xla() contexts (trace-time Python state — the
+# _use_* gates all run at trace time, so a context wrapped around a
+# traced region reliably pins every dispatch inside it)
+_FORCE_XLA_DEPTH = 0
 
 
 @lru_cache()
@@ -22,8 +28,32 @@ def kernel_mode() -> str:
     return mode
 
 
-@lru_cache()
+@contextlib.contextmanager
+def force_xla():
+    """Pin every kernel dispatch inside the context to the XLA path.
+
+    Used by the training loss: the Pallas kernels are forward-only
+    (no custom VJP), so differentiating a graph that dispatched to them
+    fails with 'Linearization failed ...'. Training traces under this
+    context and gets the fully-differentiable XLA lowering; inference
+    dispatch is unaffected.
+    """
+    global _FORCE_XLA_DEPTH
+    _FORCE_XLA_DEPTH += 1
+    try:
+        yield
+    finally:
+        _FORCE_XLA_DEPTH -= 1
+
+
 def use_pallas() -> bool:
+    if _FORCE_XLA_DEPTH:
+        return False
+    return _use_pallas_cached()
+
+
+@lru_cache()
+def _use_pallas_cached() -> bool:
     mode = kernel_mode()
     if mode == "pallas":
         return True

@@ -197,6 +197,22 @@ def _pad_head_dim(x, d_pad):
     return jnp.pad(x, pad)
 
 
+def _pick_online_blocks(block_q, block_k, sq, sk, d):
+    """Block sizes for the online-softmax path. Callers on the defaults
+    get a measured large-S override: at 65536 tokens the kernel is
+    partly K/V-restream-bound (nq x whole-K/V HBM traffic), so a large
+    q block wins — bq=4096/bk=1024 218.6ms vs 251.5ms at the 512/1024
+    default (+15%), same-window (benchmarks/attn65536_ext.py, v5e,
+    s=65536 d=40 bh=16). d>64 (the VAE-mid d=512 shape) measured best
+    AT the default, so the override is gated on small head dims."""
+    bq = min(block_q, sq)
+    bk = min(block_k, sk)
+    if (block_q == 512 and block_k == 1024   # caller on defaults
+            and sq >= 32768 and sq % 4096 == 0 and d <= 64):
+        bq = 4096
+    return bq, bk
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "n_head", "single_k",
                               "interpret")
@@ -228,8 +244,7 @@ def flash_attention_heads(q, k, v, key_bias=None, n_head: int = 1,
                            constant_values=_NEG_INF)
         sk = sk_pad
 
-    bq = min(block_q, sq)
-    bk = min(block_k, sk)
+    bq, bk = _pick_online_blocks(block_q, block_k, sq, sk, d)
     assert sq % bq == 0 and sk % bk == 0, (sq, sk, bq, bk)
     nq, nk = sq // bq, sk // bk
 

@@ -32,10 +32,17 @@ def diffusion_loss(unet_params, cfg: StableDiffusionConfig, latents, context, t,
     remat: block-granular jax.checkpoint in the UNet — cuts the stored
     activations to one per block boundary (a full SD v1 f32 train step
     does not fit a 16GB chip without it) for one extra forward pass."""
+    from sdtpu.ops.dispatch import force_xla
+
     x_t = q_sample(latents, noise, cfg_alphas(cfg), t)
-    pred = unet_apply(unet_params, x_t.astype(compute_dtype), t,
-                      context.astype(compute_dtype), cfg.unet,
-                      ctx_valid=ctx_valid, remat=remat)
+    # force_xla: the Pallas kernels are forward-only (no VJP); the
+    # training graph must trace the differentiable XLA lowering. The
+    # context is trace-time state, so it pins every dispatch gate
+    # inside unet_apply (including inside jax.checkpoint regions).
+    with force_xla():
+        pred = unet_apply(unet_params, x_t.astype(compute_dtype), t,
+                          context.astype(compute_dtype), cfg.unet,
+                          ctx_valid=ctx_valid, remat=remat)
     pred = pred.astype(jnp.float32)
     if cfg.prediction_type == "v":
         a_t = jnp.asarray(cfg_alphas(cfg))[t].reshape(-1, 1, 1, 1)
@@ -66,11 +73,24 @@ def make_optimizer(
     total_steps: int = 1_000_000,
     weight_decay: float = 1e-2,
     grad_clip: float = 1.0,
+    kind: str = "adamw",
 ) -> optax.GradientTransformation:
     """Standard diffusion-training recipe: global-norm clip + AdamW with
-    linear warmup into cosine decay."""
+    linear warmup into cosine decay.
+
+    kind="adafactor" swaps in the factored-second-moment optimizer: the
+    2x-params AdamW m/v state (6.9GB f32 for SD v1) drops to the row/
+    column moment factors (~KBs per matrix), which buys ~7GB of HBM for
+    batch on a single 16GB chip."""
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
+    if kind == "adafactor":
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adafactor(schedule, weight_decay_rate=weight_decay),
+        )
+    if kind != "adamw":
+        raise ValueError(f"kind must be adamw|adafactor, got {kind!r}")
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, weight_decay=weight_decay),

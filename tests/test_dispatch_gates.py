@@ -39,3 +39,22 @@ def test_fused_resblock_gate(monkeypatch):
     # the fused chain takes the 1024px-class maps
     assert _use_fused_resblock(jnp.zeros((4, 128, 128, 320)))
     assert _use_fused_resblock(jnp.zeros((4, 256, 256, 320)))
+
+
+def test_online_block_pick():
+    """Large-S q-block override (benchmarks/attn65536_ext.py): callers on
+    the defaults get bq=4096 at >=32768 tokens with small head dims; the
+    VAE-mid d=512 shape and explicit caller choices are untouched."""
+    from sdtpu.ops.flash_attention import _pick_online_blocks
+
+    # 2048px UNet self-attention: override fires
+    assert _pick_online_blocks(512, 1024, 65536, 65536, 40) == (4096, 1024)
+    assert _pick_online_blocks(512, 1024, 32768, 32768, 64) == (4096, 1024)
+    # VAE mid attention d=512: measured best at the default
+    assert _pick_online_blocks(512, 1024, 65536, 65536, 512) == (512, 1024)
+    # 16K regime: below the override floor (single-k path owns it anyway)
+    assert _pick_online_blocks(512, 1024, 16384, 16384, 40) == (512, 1024)
+    # explicit caller choice always wins
+    assert _pick_online_blocks(2048, 2048, 65536, 65536, 40) == (2048, 2048)
+    # non-4096-divisible sq cannot take the override
+    assert _pick_online_blocks(512, 1024, 34816, 34816, 40) == (512, 1024)

@@ -183,3 +183,29 @@ def test_remat_train_step_matches_exact():
         x, y = np.asarray(x), np.asarray(y)
         scale = np.abs(x).max() + 1e-12
         np.testing.assert_allclose(y / scale, x / scale, atol=1e-5)
+
+
+def test_training_forces_xla_dispatch(monkeypatch):
+    """The training loss must trace the differentiable XLA path even when
+    kernel dispatch would pick Pallas (the kernels are forward-only; on
+    TPU an undiverted trace dies with 'Linearization failed')."""
+    import sdtpu.ops.dispatch as dispatch
+    from sdtpu.training import diffusion_loss
+
+    # pretend we are on a Pallas-capable backend
+    monkeypatch.setattr(dispatch, "_use_pallas_cached", lambda: True)
+    assert dispatch.use_pallas()
+    with dispatch.force_xla():
+        assert not dispatch.use_pallas()
+
+    params = tiny_params()["unet"]
+    latents = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    context = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+    t = jnp.asarray([3, 500])
+    noise = jax.random.normal(jax.random.PRNGKey(2), latents.shape)
+    # would crash on CPU inside a Pallas kernel (or on TPU inside the
+    # VJP) if force_xla did not pin the gates during the loss trace
+    loss, grads = jax.value_and_grad(
+        lambda p: diffusion_loss(p, SD_TINY, latents, context, t, noise,
+                                 remat=True))(params)
+    assert np.isfinite(float(loss))
