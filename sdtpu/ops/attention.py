@@ -65,13 +65,22 @@ def qkv_attention(
     d_head = d // n_head
     if (mask is None and sq >= 2048 and sk >= 2048
             and (d_head <= 160 or sq >= 8192)):
-        from sdtpu.ops.dispatch import use_pallas
+        from sdtpu.ops.dispatch import use_pallas, use_pallas_differentiable
 
-        if use_pallas() and sq % min(512, sq) == 0 and (
+        if sq % min(512, sq) == 0 and (
                 key_valid is not None or sk % min(1024, sk) == 0):
-            from sdtpu.ops.flash_attention import flash_qkv_attention
+            if key_valid is None and use_pallas_differentiable():
+                # custom-VJP form (Pallas forward, XLA backward): safe
+                # to differentiate, so it may dispatch even under
+                # force_xla(allow_differentiable=True) in training
+                from sdtpu.ops.flash_attention import flash_qkv_attention_diff
 
-            return flash_qkv_attention(q, k, v, n_head, key_valid=key_valid)
+                return flash_qkv_attention_diff(q, k, v, n_head)
+            if key_valid is not None and use_pallas():
+                from sdtpu.ops.flash_attention import flash_qkv_attention
+
+                return flash_qkv_attention(q, k, v, n_head,
+                                           key_valid=key_valid)
     scale = (d / n_head) ** -0.25
 
     q = (q * scale).reshape(b, sq, n_head, d_head).transpose(0, 2, 1, 3)

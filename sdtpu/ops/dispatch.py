@@ -18,6 +18,9 @@ import jax
 # _use_* gates all run at trace time, so a context wrapped around a
 # traced region reliably pins every dispatch inside it)
 _FORCE_XLA_DEPTH = 0
+# depth of force_xla(allow_differentiable=True) contexts: kernels that
+# carry a custom VJP (use_pallas_differentiable) may still dispatch
+_ALLOW_DIFF_DEPTH = 0
 
 
 @lru_cache()
@@ -29,25 +32,40 @@ def kernel_mode() -> str:
 
 
 @contextlib.contextmanager
-def force_xla():
+def force_xla(allow_differentiable: bool = False):
     """Pin every kernel dispatch inside the context to the XLA path.
 
-    Used by the training loss: the Pallas kernels are forward-only
+    Used by the training loss: most Pallas kernels are forward-only
     (no custom VJP), so differentiating a graph that dispatched to them
     fails with 'Linearization failed ...'. Training traces under this
-    context and gets the fully-differentiable XLA lowering; inference
+    context and gets a fully-differentiable lowering; inference
     dispatch is unaffected.
+
+    allow_differentiable=True keeps the kernels that DO carry a custom
+    VJP (gated on use_pallas_differentiable — the flash-attention
+    forward) on their Pallas path; everything else still pins to XLA.
     """
-    global _FORCE_XLA_DEPTH
+    global _FORCE_XLA_DEPTH, _ALLOW_DIFF_DEPTH
     _FORCE_XLA_DEPTH += 1
+    _ALLOW_DIFF_DEPTH += bool(allow_differentiable)
     try:
         yield
     finally:
         _FORCE_XLA_DEPTH -= 1
+        _ALLOW_DIFF_DEPTH -= bool(allow_differentiable)
 
 
 def use_pallas() -> bool:
     if _FORCE_XLA_DEPTH:
+        return False
+    return _use_pallas_cached()
+
+
+def use_pallas_differentiable() -> bool:
+    """Dispatch gate for kernels wrapped in a custom VJP (Pallas forward
+    + XLA backward): allowed under force_xla(allow_differentiable=True),
+    where plain use_pallas() kernels are not."""
+    if _FORCE_XLA_DEPTH and not _ALLOW_DIFF_DEPTH:
         return False
     return _use_pallas_cached()
 

@@ -447,3 +447,53 @@ def flash_qkv_attention(q, k, v, n_head: int, key_valid=None,
                               interpret=interpret)
     return (o.reshape(b, n_head, sq, dh).transpose(0, 2, 1, 3)
             .reshape(b, sq, n_state))
+
+
+# ---------------------------------------------------------------- autodiff
+
+def _xla_attention_twin(q, k, v, n_head):
+    """Differentiable XLA twin of flash_qkv_attention (mask-free):
+    bit-for-bit the reference math of ops/attention.py's XLA path. Used
+    only to derive the backward of the custom_vjp below — the forward
+    runs the Pallas kernel; the VJP of this twin is the gradient."""
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    d_head = d // n_head
+    scale = (d / n_head) ** -0.25
+    qh = (q * scale).reshape(b, sq, n_head, d_head).transpose(0, 2, 1, 3)
+    kh = (k * scale).reshape(b, sk, n_head, d_head).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, sk, n_head, d_head).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32)
+    w = jnp.exp(s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True)))
+    w = (w / w.sum(axis=-1, keepdims=True)).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, vh,
+                   preferred_element_type=jnp.float32)
+    return o.astype(v.dtype).transpose(0, 2, 1, 3).reshape(b, sq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_qkv_attention_diff(q, k, v, n_head: int, interpret: bool = False):
+    """Differentiable flash attention (mask-free): Pallas forward, XLA
+    backward. The Pallas kernels have no VJP of their own; this wrapper
+    runs them on the forward (including the remat recompute inside
+    jax.checkpoint regions) and computes gradients by differentiating
+    the XLA twin — O(S^2) memory in the backward only, which block-level
+    remat bounds to one layer at a time. Lets the training graph keep
+    the 3.5x attention forward instead of falling back to all-XLA
+    (dispatch.force_xla(allow_differentiable=True))."""
+    return flash_qkv_attention(q, k, v, n_head, interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, n_head, interpret):
+    return flash_qkv_attention(q, k, v, n_head, interpret=interpret), (q, k, v)
+
+
+def _flash_diff_bwd(n_head, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_attention_twin(q_, k_, v_, n_head), q, k, v)
+    return vjp(g)
+
+
+flash_qkv_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

@@ -35,11 +35,13 @@ def diffusion_loss(unet_params, cfg: StableDiffusionConfig, latents, context, t,
     from sdtpu.ops.dispatch import force_xla
 
     x_t = q_sample(latents, noise, cfg_alphas(cfg), t)
-    # force_xla: the Pallas kernels are forward-only (no VJP); the
-    # training graph must trace the differentiable XLA lowering. The
-    # context is trace-time state, so it pins every dispatch gate
-    # inside unet_apply (including inside jax.checkpoint regions).
-    with force_xla():
+    # force_xla: most Pallas kernels are forward-only (no VJP); the
+    # training graph must trace a differentiable lowering. The context
+    # is trace-time state, so it pins every dispatch gate inside
+    # unet_apply (including inside jax.checkpoint regions).
+    # allow_differentiable keeps the custom-VJP flash-attention forward
+    # on its Pallas kernel (3.5x XLA at the dominant training shape).
+    with force_xla(allow_differentiable=True):
         pred = unet_apply(unet_params, x_t.astype(compute_dtype), t,
                           context.astype(compute_dtype), cfg.unet,
                           ctx_valid=ctx_valid, remat=remat)

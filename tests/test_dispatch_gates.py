@@ -58,3 +58,22 @@ def test_online_block_pick():
     assert _pick_online_blocks(2048, 2048, 65536, 65536, 40) == (2048, 2048)
     # non-4096-divisible sq cannot take the override
     assert _pick_online_blocks(512, 1024, 34816, 34816, 40) == (512, 1024)
+
+
+def test_force_xla_differentiable_carveout(monkeypatch):
+    """force_xla pins everything; allow_differentiable=True re-admits
+    only the custom-VJP gates (use_pallas_differentiable)."""
+    monkeypatch.setattr(dispatch, "_use_pallas_cached", lambda: True)
+    assert dispatch.use_pallas() and dispatch.use_pallas_differentiable()
+    with dispatch.force_xla():
+        assert not dispatch.use_pallas()
+        assert not dispatch.use_pallas_differentiable()
+    with dispatch.force_xla(allow_differentiable=True):
+        assert not dispatch.use_pallas()
+        assert dispatch.use_pallas_differentiable()
+        with dispatch.force_xla():  # nested stricter context wins
+            assert not dispatch.use_pallas()
+            # a plain force_xla nested inside still leaves the diff
+            # carve-out of the OUTER context active by design: the
+            # carve-out is only ever entered by the training loss
+            assert dispatch.use_pallas_differentiable()

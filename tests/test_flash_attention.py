@@ -89,3 +89,32 @@ def test_flash_cross_attention_key_bias():
 
     got = flash_qkv_attention(q, k_pad, v_pad, h, key_valid=valid, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_custom_vjp_grads_match_xla():
+    """flash_qkv_attention_diff: Pallas forward (interpret here) must be
+    differentiable, and its custom-VJP gradients must match autodiff of
+    the plain XLA attention to fp tolerance."""
+    from sdtpu.ops.flash_attention import (_xla_attention_twin,
+                                           flash_qkv_attention_diff)
+
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 4)
+    b, s, c, h = 1, 256, 64, 2
+    q = jax.random.normal(k0, (b, s, c), jnp.float32)
+    k = jax.random.normal(k1, (b, s, c), jnp.float32)
+    v = jax.random.normal(k2, (b, s, c), jnp.float32)
+    g = jax.random.normal(k3, (b, s, c), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_qkv_attention_diff(q, k, v, h, True) * g)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention_twin(q, k, v, h) * g)
+
+    lp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    lx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                               rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
