@@ -68,6 +68,14 @@ class Batcher:
         self.timeout_s = timeout_s
         self.queue: "queue.Queue" = queue.Queue()
         self._held = []  # items deferred because their key mismatched
+        # device->host readback runs on its own thread so the worker can
+        # dispatch the NEXT batch while the previous one transfers
+        # (measured: per-batch image readback otherwise serializes with
+        # compute — ~25% of steady-state serving time on the tunneled
+        # TPU). maxsize=2 bounds in-flight readback memory/backpressure.
+        self._readback_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._completer = threading.Thread(target=self._complete, daemon=True)
+        self._completer.start()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
@@ -173,11 +181,26 @@ class Batcher:
             sampler=sampler,
         )
 
-        i = 0
-        for (_p, _s, _sc, _seed, n_images, _neg, _sam, ev, slot), n in zip(items, counts):
-            slot["images"] = np.asarray(images[i : i + n])
-            i += n
-            ev.set()
+        # hand the (still-on-device) batch to the completer; the worker
+        # is immediately free to collect and dispatch the next batch
+        self._readback_q.put((images, items, counts))
+
+    def _complete(self):
+        import numpy as np
+
+        while True:
+            images, items, counts = self._readback_q.get()
+            try:
+                host = np.asarray(images)  # one bulk device->host fetch
+                i = 0
+                for (*_rest, ev, slot), n in zip(items, counts):
+                    slot["images"] = host[i : i + n]
+                    i += n
+                    ev.set()
+            except Exception as e:  # pragma: no cover - defensive
+                for *_rest, ev, slot in items:
+                    slot["error"] = f"{type(e).__name__}: {e}"
+                    ev.set()
 
 
 def _generate(prompt, steps, scale, seed, batch, negative, sampler="ddim"):
