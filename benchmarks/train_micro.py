@@ -46,13 +46,14 @@ def main():
     print(f"params: {n_params/1e6:.1f}M (f32 master + f32 AdamW m/v)",
           flush=True)
 
-    for batch, remat in ((4, False), (4, True), (2, True), (1, True)):
+    for batch, remat, res in ((4, True, 64), (2, True, 64),
+                              (1, True, 128), (2, True, 128)):
         step = jax.jit(
             make_train_step(cfg, opt, compute_dtype=jnp.bfloat16,
                             remat=remat),
             donate_argnums=(0, 1))
         latents = jax.random.normal(jax.random.PRNGKey(1),
-                                    (batch, 64, 64, 4), jnp.float32)
+                                    (batch, res, res, 4), jnp.float32)
         context = jax.random.normal(jax.random.PRNGKey(2),
                                     (batch, 77, cfg.unet.context_dim),
                                     jnp.float32)
@@ -70,7 +71,7 @@ def main():
                 loss = float(loss)
                 ts.append(time.perf_counter() - t0)
             ms = min(ts) * 1000
-            print(f"batch {batch} remat={remat}: {ms:8.1f}ms/step "
+            print(f"batch {batch} {res*8}px remat={remat}: {ms:8.1f}ms/step "
                   f"({batch/ms*1000:.2f} img/s) loss {loss:.4f} "
                   f"compile+first {compile_s:.1f}s", flush=True)
             del p, o
@@ -80,7 +81,7 @@ def main():
             opt_state = jax.jit(opt.init)(params)
             jax.block_until_ready(opt_state)
         except Exception as e:
-            print(f"batch {batch} remat={remat}: FAIL {str(e)[:140]}",
+            print(f"batch {batch} {res*8}px remat={remat}: FAIL {str(e)[:140]}",
                   flush=True)
             # donated buffers are consumed even on failure — drop every
             # reference (incl. the compiled executable) before rebuilding

@@ -118,3 +118,43 @@ def test_custom_vjp_grads_match_xla():
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("s,c,h,dtype", [
+    (1024, 80, 2, jnp.float32),   # nq=2: dK/dV scratch accumulation
+    (512, 64, 1, jnp.bfloat16),   # low-precision path
+    (256, 80, 2, jnp.float32),    # d_head=40 lane padding (SD shape)
+])
+def test_fullk_bwd_kernel_grads(s, c, h, dtype):
+    """flash_attention_bwd_heads == autodiff of the XLA twin across
+    block-accumulation, head-dim padding, and bf16."""
+    from sdtpu.ops.flash_attention import (_xla_attention_twin,
+                                           flash_attention_bwd_heads)
+
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 4)
+    b = 1
+    q = jax.random.normal(k0, (b, s, c), dtype)
+    k = jax.random.normal(k1, (b, s, c), dtype)
+    v = jax.random.normal(k2, (b, s, c), dtype)
+    g = jax.random.normal(k3, (b, s, c), dtype)
+    dh = c // h
+
+    def split(x):
+        return (x.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+                .reshape(b * h, s, dh))
+
+    dqh, dkh, dvh = flash_attention_bwd_heads(
+        split(q), split(k), split(v), split(g), interpret=True)
+
+    def merge(x):
+        return (x.reshape(b, h, s, dh).transpose(0, 2, 1, 3)
+                .reshape(b, s, c))
+
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_attention_twin(q_, k_, v_, h), q, k, v)
+    want = vjp(g)
+    tol = dict(rtol=3e-2, atol=3e-2) if dtype == jnp.bfloat16 else \
+        dict(rtol=3e-4, atol=3e-4)
+    for got, exp in zip((merge(dqh), merge(dkh), merge(dvh)), want):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(exp, np.float32), **tol)
