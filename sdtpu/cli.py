@@ -14,6 +14,10 @@ convert (reference: src/bin/convert/main.rs:36-58):
 Extra (sdtpu-only) flags for `sample`: --seed N for reproducible latents
 (the reference is unseeded, mod.rs:115-121), --preset sd-v1-4|sd-v1-5|
 sd-v2-1, --bf16, --batch N.
+
+finetune (sdtpu-only, no reference equivalent — see finetune_main):
+    finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
+             [training flags]
 """
 
 from __future__ import annotations
@@ -164,6 +168,101 @@ def sample_main(argv=None) -> None:
             "n_steps": n_steps, "batch": batch, "guidance_scale": guidance_scale,
             "device": str(jax.devices()[0]),
         }))
+
+
+def finetune_main(argv=None) -> None:
+    """sdtpu-only (the reference is inference-only):
+
+    finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
+             [--steps N] [--batch B] [--accum K] [--lr F] [--ema DECAY]
+             [--bf16] [--remat] [--opt adamw|adafactor] [--save-every N]
+             [--state-dir DIR] [--resume] [--preset P] [--seed N] [--tp N]
+             [--device cpu|tpu]
+    """
+    argv = list(sys.argv if argv is None else argv)
+
+    opts = {"steps": 100, "batch": 4, "accum": 1, "lr": 1e-5, "ema": None,
+            "bf16": False, "remat": False, "opt": "adamw", "save_every": 0,
+            "state_dir": None, "resume": False, "preset": "sd-v1-4",
+            "seed": 0, "tp": 1, "device": None}
+    i, positional = 1, [argv[0]]
+
+    def flag_value(idx: int) -> str:
+        if idx + 1 >= len(argv):
+            _fail(f"Error: {argv[idx]} requires a value")
+        return argv[idx + 1]
+
+    while i < len(argv):
+        a = argv[i]
+        if a == "--steps":
+            opts["steps"] = int(flag_value(i)); i += 2
+        elif a == "--batch":
+            opts["batch"] = int(flag_value(i)); i += 2
+        elif a == "--accum":
+            opts["accum"] = int(flag_value(i)); i += 2
+        elif a == "--lr":
+            opts["lr"] = float(flag_value(i)); i += 2
+        elif a == "--ema":
+            opts["ema"] = float(flag_value(i)); i += 2
+        elif a == "--bf16":
+            opts["bf16"] = True; i += 1
+        elif a == "--remat":
+            opts["remat"] = True; i += 1
+        elif a == "--opt":
+            opts["opt"] = flag_value(i); i += 2
+            if opts["opt"] not in ("adamw", "adafactor"):
+                _fail("Error: --opt must be adamw|adafactor")
+        elif a == "--save-every":
+            opts["save_every"] = int(flag_value(i)); i += 2
+        elif a == "--state-dir":
+            opts["state_dir"] = flag_value(i); i += 2
+        elif a == "--resume":
+            opts["resume"] = True; i += 1
+        elif a == "--preset":
+            opts["preset"] = flag_value(i); i += 2
+        elif a == "--seed":
+            opts["seed"] = int(flag_value(i)); i += 2
+        elif a == "--tp":
+            opts["tp"] = int(flag_value(i)); i += 2
+        elif a == "--device":
+            opts["device"] = flag_value(i); i += 2
+        else:
+            positional.append(a); i += 1
+
+    if len(positional) != 5:
+        _fail(
+            f"Usage: {positional[0]} <model_type(burn|dump|native|ckpt)> "
+            "<model_name> <data_dir|cache.npz> <out_model> [flags]"
+        )
+    model_type, model_name, data, out_model = positional[1:5]
+    _select_device(opts["device"])
+
+    import jax.numpy as jnp
+
+    from sdtpu.finetune import run_finetune
+    from sdtpu.tokenizer import SimpleTokenizer
+    from sdtpu.utils import profiling
+
+    print("Loading tokenizer...")
+    tokenizer = SimpleTokenizer()
+    print("Loading model...")
+    with profiling.phase("load_model"):
+        sd = load_model(model_type, model_name, opts["preset"])
+
+    print(f"Fine-tuning for {opts['steps']} steps "
+          f"(batch {opts['batch']}, accum {opts['accum']}, lr {opts['lr']})...")
+    result = run_finetune(
+        sd, tokenizer, data, out_model,
+        steps=opts["steps"], batch_size=opts["batch"], accum=opts["accum"],
+        lr=opts["lr"], ema_decay=opts["ema"], opt_kind=opts["opt"],
+        compute_dtype=jnp.bfloat16 if opts["bf16"] else jnp.float32,
+        remat=opts["remat"], tp=opts["tp"], seed=opts["seed"],
+        save_every=opts["save_every"], state_dir=opts["state_dir"],
+        resume=opts["resume"],
+    )
+    print(f"Done: final loss {result['final_loss']:.5f}, "
+          f"{result['steps_per_sec']:.2f} steps/sec, "
+          f"model at {result['out_path']}")
 
 
 def convert_main(argv=None) -> None:

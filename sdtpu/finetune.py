@@ -1,0 +1,176 @@
+"""End-to-end fine-tuning loop: dataset -> latent cache -> train -> model.
+
+The reference is inference-only (SURVEY.md SS0: burn-autodiff is declared
+but never imported); this module is sdtpu-only capability. It glues the
+pieces the library already has into the loop a user actually runs:
+
+    dataset.build_latent_cache   (VAE+CLIP encode once, cached npz)
+    dataset.LatentBatches        (shuffled, host-prefetched device batches)
+    training.make_train_step     (grad-accum, remat, optional in-step EMA)
+    io.checkpoint                (orbax train-state save/resume)
+    io.native.save_native        (finetuned model -> .safetensors)
+
+TPU mapping: only the UNet trains (standard SD fine-tune recipe; CLIP and
+the VAE stay frozen, exactly the split the latent cache bakes in). Params
+and optimizer state live donated on device; on a multi-device backend the
+batch is dp-sharded over a Mesh and XLA emits the gradient psums -- the
+same sharding rules the sampler and dryrun_multichip use.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdtpu.config import StableDiffusionConfig
+from sdtpu.dataset import LatentBatches, build_latent_cache, load_latent_cache
+from sdtpu.io.checkpoint import restore_train_state, save_train_state
+from sdtpu.io.native import save_native
+from sdtpu.training import make_optimizer, make_train_step
+
+
+def resolve_cache(sd, tokenizer, data: str, batch: int = 8) -> str:
+    """`data` is either a prebuilt cache npz or a dataset directory; build
+    (or reuse) the per-config cache next to the directory's images."""
+    if data.endswith(".npz"):
+        if not os.path.exists(data):
+            raise FileNotFoundError(f"latent cache not found: {data}")
+        return data
+    cache = os.path.join(data, f"sdtpu_cache_{sd.config.name}.npz")
+    if not os.path.exists(cache):
+        build_latent_cache(sd, tokenizer, data, cache, batch=batch)
+    return cache
+
+
+def run_finetune(
+    sd,
+    tokenizer,
+    data: str,
+    out_model: str,
+    *,
+    steps: int = 100,
+    batch_size: int = 4,
+    accum: int = 1,
+    lr: float = 1e-5,
+    warmup_steps: int = 0,
+    weight_decay: float = 1e-2,
+    grad_clip: float = 1.0,
+    opt_kind: str = "adamw",
+    ema_decay: Optional[float] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    tp: int = 1,
+    seed: int = 0,
+    save_every: int = 0,
+    state_dir: Optional[str] = None,
+    resume: bool = False,
+    log_every: int = 10,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Fine-tune `sd`'s UNet on `data`; write `<out_model>.safetensors`.
+
+    Returns {"steps", "final_loss", "losses", "out_path", "steps_per_sec"}.
+    """
+    cfg: StableDiffusionConfig = sd.config
+    cache = resolve_cache(sd, tokenizer, data, batch=min(8, batch_size))
+    latents, contexts, n_valid = load_latent_cache(cache)
+    log(f"dataset: {len(latents)} examples from {cache}")
+
+    devices = jax.devices()
+    mesh = None
+    unet_params = sd.params["unet"]
+    # master params train in f32 regardless of the compute dtype
+    unet_params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(p, jnp.float32), unet_params)
+    stage = None
+    if len(devices) > 1:
+        from sdtpu.parallel import (make_mesh, param_shardings, shard_batch)
+
+        mesh = make_mesh(dp=len(devices) // tp, tp=tp, devices=devices)
+        if batch_size % mesh.shape["dp"]:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by dp="
+                f"{mesh.shape['dp']} on a {len(devices)}-device backend")
+        unet_params = jax.device_put(
+            unet_params, param_shardings({"unet": unet_params}, mesh)["unet"])
+        stage = lambda a: shard_batch(a, mesh)  # noqa: E731
+        log(f"mesh: dp={mesh.shape['dp']} tp={mesh.shape['tp']}")
+
+    opt = make_optimizer(lr=lr, warmup_steps=warmup_steps, total_steps=steps,
+                         weight_decay=weight_decay, grad_clip=grad_clip,
+                         kind=opt_kind)
+    opt_state = opt.init(unet_params)
+    ema_params = unet_params if ema_decay is not None else None
+
+    step0 = 0
+    if resume:
+        if not (state_dir and os.path.isdir(state_dir)):
+            raise FileNotFoundError(
+                f"--resume: no train state at {state_dir!r}")
+        if ema_params is not None:
+            unet_params, opt_state, step0, ema_params = restore_train_state(
+                state_dir, template=(unet_params, opt_state), ema=ema_params)
+        else:
+            unet_params, opt_state, step0 = restore_train_state(
+                state_dir, template=(unet_params, opt_state))
+        log(f"resumed step {step0} from {state_dir}")
+
+    step_fn = make_train_step(cfg, opt, compute_dtype=compute_dtype,
+                              remat=remat, accum=accum, ema_decay=ema_decay)
+    # donation frees the previous params/opt/ema buffers in-place on TPU
+    # (load-bearing for full-size models, BENCHLOG training notes); the
+    # CPU backend can't donate and would warn every step, so skip there
+    donate = ()
+    if jax.default_backend() != "cpu":
+        donate = (0, 1, 2) if ema_decay is not None else (0, 1)
+    step_jit = jax.jit(step_fn, donate_argnums=donate)
+
+    batches = LatentBatches(latents, contexts, n_valid,
+                            batch_size=batch_size, seed=seed, sharding=stage)
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    t_start = time.perf_counter()
+    try:
+        for i in range(step0, steps):
+            key, sub = jax.random.split(key)
+            batch = next(batches)
+            if ema_decay is not None:
+                unet_params, opt_state, ema_params, loss = step_jit(
+                    unet_params, opt_state, ema_params, batch, sub)
+            else:
+                unet_params, opt_state, loss = step_jit(
+                    unet_params, opt_state, batch, sub)
+            if log_every and (i % log_every == 0 or i + 1 == steps):
+                loss_f = float(loss)  # syncs; cadence bounded by log_every
+                losses.append((i, loss_f))
+                log(f"step {i + 1}/{steps} loss {loss_f:.5f}")
+            if save_every and state_dir and (i + 1) % save_every == 0:
+                save_train_state(state_dir, unet_params, opt_state, i + 1,
+                                 ema=ema_params)
+                log(f"train state saved at step {i + 1} -> {state_dir}")
+    finally:
+        batches.close()
+    dt = time.perf_counter() - t_start
+    final_loss = losses[-1][1] if losses else float("nan")
+
+    final_unet = ema_params if ema_decay is not None else unet_params
+    host_unet = jax.tree_util.tree_map(np.asarray, final_unet)
+    full = dict(sd.params)
+    full["unet"] = host_unet
+    out_path = (out_model if out_model.endswith(".safetensors")
+                else f"{out_model}.safetensors")
+    save_native(full, out_path, cfg)
+    log(f"model saved to {out_path}")
+    n_run = max(steps - step0, 1)
+    return {
+        "steps": steps,
+        "final_loss": final_loss,
+        "losses": losses,
+        "out_path": out_path,
+        "steps_per_sec": n_run / dt if dt > 0 else float("inf"),
+    }

@@ -22,18 +22,23 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_train_state(path: str, params, opt_state, step: int) -> None:
-    """Atomic save of the full train state under `path` (a directory)."""
+def save_train_state(path: str, params, opt_state, step: int,
+                     ema: Optional[Any] = None) -> None:
+    """Atomic save of the full train state under `path` (a directory).
+    ema: optional EMA shadow params (saved under their own key)."""
     ckptr = _checkpointer()
     state = {"params": params, "opt_state": opt_state,
              "step": np.asarray(step, np.int64)}
+    if ema is not None:
+        state["ema"] = ema
     ckptr.save(os.path.abspath(path), state, force=True)
 
 
 def restore_train_state(path: str, shardings: Optional[Any] = None,
-                        template: Optional[Any] = None
-                        ) -> Tuple[Any, Any, int]:
-    """Restore (params, opt_state, step).
+                        template: Optional[Any] = None,
+                        ema: Optional[Any] = None) -> Tuple[Any, ...]:
+    """Restore (params, opt_state, step) — plus the EMA shadow as a 4th
+    element when an `ema` template is given.
 
     template: a (params, opt_state) pair with the target pytree structure
     — REQUIRED to reconstruct optax NamedTuple states (orbax alone would
@@ -46,8 +51,13 @@ def restore_train_state(path: str, shardings: Optional[Any] = None,
         t_params, t_opt = template
         item = {"params": t_params, "opt_state": t_opt,
                 "step": np.asarray(0, np.int64)}
+        if ema is not None:
+            item["ema"] = ema
     state = ckptr.restore(os.path.abspath(path), item=item)
     params, opt_state = state["params"], state["opt_state"]
     if shardings is not None:
         params = jax.device_put(params, shardings)
-    return params, opt_state, int(state["step"])
+    out = (params, opt_state, int(state["step"]))
+    if ema is not None:
+        out = out + (state["ema"],)
+    return out

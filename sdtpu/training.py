@@ -107,23 +107,81 @@ def ema_update(ema_params, params, decay: float = 0.9999):
 
 
 def make_train_step(cfg: StableDiffusionConfig, optimizer: optax.GradientTransformation,
-                    compute_dtype=jnp.float32, remat: bool = False):
+                    compute_dtype=jnp.float32, remat: bool = False,
+                    accum: int = 1, ema_decay: float | None = None):
     """Returns train_step(unet_params, opt_state, batch, key) ->
-    (params, opt_state, loss). batch = (latents, context)."""
+    (params, opt_state, loss). batch = (latents, context) or
+    (latents, context, ctx_valid).
 
-    def loss_fn(p, latents, context, t, noise):
+    accum > 1: gradient accumulation - the batch is split into `accum`
+    equal micro-batches scanned sequentially, gradients averaged in f32,
+    ONE optimizer update. Activation memory scales with batch/accum while
+    the optimizer sees the full effective batch; bitwise-equal t/noise
+    draws vs accum=1 (both drawn full-batch up front), so the two
+    configurations are numerically interchangeable up to f32 summation
+    order.
+
+    ema_decay set: the step also carries an EMA shadow of the params (the
+    weights SD actually ships) - signature becomes
+    train_step(params, opt_state, ema_params, batch, key) ->
+    (params, opt_state, ema_params, loss). Folding the EMA into the
+    jitted step makes it free of extra HBM round-trips vs a separate
+    ema_update launch.
+    """
+
+    def loss_fn(p, latents, context, t, noise, ctx_valid):
         return diffusion_loss(p, cfg, latents, context, t, noise,
+                              ctx_valid=ctx_valid,
                               compute_dtype=compute_dtype, remat=remat)
 
-    def train_step(params, opt_state, batch, key):
-        latents, context = batch
+    def grads_of(params, latents, context, ctx_valid, t, noise):
+        if accum == 1:
+            return jax.value_and_grad(loss_fn)(
+                params, latents, context, t, noise, ctx_valid)
+        b = latents.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by accum {accum}")
+        mb = b // accum
+
+        def split(x):
+            return None if x is None else x.reshape((accum, mb) + x.shape[1:])
+
+        xs = tuple(split(a) for a in (latents, context, t, noise, ctx_valid))
+
+        def body(carry, micro):
+            loss_sum, g_sum = carry
+            lat_i, ctx_i, t_i, n_i, v_i = micro
+            loss, g = jax.value_and_grad(loss_fn)(
+                params, lat_i, ctx_i, t_i, n_i, v_i)
+            g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+            return (loss_sum + loss, g_sum), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        (loss_sum, g_sum), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zeros), xs)
+        inv = 1.0 / accum
+        return loss_sum * inv, jax.tree_util.tree_map(
+            lambda g: g * inv, g_sum)
+
+    def step_core(params, opt_state, batch, key):
+        latents, context = batch[0], batch[1]
+        ctx_valid = batch[2] if len(batch) > 2 else None
         kt, kn = jax.random.split(key)
         b = latents.shape[0]
         t = jax.random.randint(kt, (b,), 0, cfg.n_train_steps)
         noise = jax.random.normal(kn, latents.shape, jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(params, latents, context, t, noise)
+        loss, grads = grads_of(params, latents, context, ctx_valid, t, noise)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return train_step
+    if ema_decay is None:
+        return step_core
+
+    def train_step_ema(params, opt_state, ema_params, batch, key):
+        params, opt_state, loss = step_core(params, opt_state, batch, key)
+        ema_params = ema_update(ema_params, params, ema_decay)
+        return params, opt_state, ema_params, loss
+
+    return train_step_ema

@@ -1,0 +1,281 @@
+"""Training subsystem tests (CPU, tiny model, 8-device virtual mesh):
+loss decrease on an overfit batch, gradient-accumulation equivalence,
+in-step EMA math, dataset -> latent-cache -> prefetched-batch pipeline,
+train-state save/resume (incl. EMA), and the finetune CLI end-to-end.
+
+The reference is inference-only (SURVEY.md §0: burn-autodiff declared,
+never imported) — all capability here is sdtpu-only; tests pin sdtpu's
+own documented semantics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sdtpu.dataset import (LatentBatches, build_latent_cache,
+                           center_crop_resize, load_latent_cache)
+from sdtpu.pipeline import StableDiffusion
+from sdtpu.tokenizer import SimpleTokenizer
+from sdtpu.training import ema_update, make_optimizer, make_train_step
+
+from test_pipeline import TINY, tiny_params
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return StableDiffusion(tiny_params(), TINY)
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return SimpleTokenizer()
+
+
+def _fixed_batch(b=4, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    hw = TINY.latent_size
+    latents = jax.random.normal(k1, (b, hw, hw, 4), jnp.float32)
+    context = jax.random.normal(k2, (b, 7, TINY.unet.context_dim), jnp.float32)
+    return latents, context
+
+
+def test_loss_decreases_overfit():
+    params = tiny_params()["unet"]
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(TINY, opt))
+    batch = _fixed_batch()
+    losses = []
+    for i in range(25):
+        params, opt_state, loss = step(
+            params, opt_state, batch, jax.random.PRNGKey(7))  # fixed noise
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5]), losses
+
+
+def test_grad_accum_equivalence():
+    """accum=k must match accum=1 on the same batch/key: identical t and
+    noise draws (both full-batch up front) and AVERAGED grads. SGD(1.0)
+    on purpose: the param delta then IS the gradient, so the comparison
+    tests exactly what accumulation must preserve. (Adam would amplify
+    f32 summation-order jitter on near-zero grads to lr-scale param
+    diffs — m/sqrt(v) is ~sign(g) — which is noise, not a bug.)"""
+    params = tiny_params()["unet"]
+    opt = optax.sgd(1.0)
+    batch = _fixed_batch(b=4)
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for accum in (1, 2, 4):
+        step = jax.jit(make_train_step(TINY, opt, accum=accum))
+        p, s, loss = step(params, opt.init(params), batch, key)
+        outs[accum] = (p, float(loss))
+    p1, l1 = outs[1]
+    for accum in (2, 4):
+        pa, la = outs[accum]
+        assert abs(la - l1) < 1e-5, (accum, la, l1)
+        flat1 = jax.tree_util.tree_leaves(p1)
+        flata = jax.tree_util.tree_leaves(pa)
+        for a, b in zip(flat1, flata):
+            # grads are O(1e-3); a sum-instead-of-mean bug shifts params
+            # by full grad magnitude, far outside this band
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_accum_rejects_indivisible_batch():
+    step = jax.jit(make_train_step(TINY, optax.adam(1e-3), accum=3))
+    params = tiny_params()["unet"]
+    with pytest.raises(ValueError, match="not divisible"):
+        step(params, optax.adam(1e-3).init(params), _fixed_batch(b=4),
+             jax.random.PRNGKey(0))
+
+
+def test_ema_in_step_matches_formula():
+    params = tiny_params()["unet"]
+    opt = optax.adam(1e-3)
+    batch = _fixed_batch()
+    key = jax.random.PRNGKey(5)
+
+    plain = jax.jit(make_train_step(TINY, opt))
+    p_ref, _, loss_ref = plain(params, opt.init(params), batch, key)
+
+    ema_step = jax.jit(make_train_step(TINY, opt, ema_decay=0.5))
+    p_new, _, ema, loss = ema_step(params, opt.init(params), params,
+                                   batch, key)
+    assert abs(float(loss) - float(loss_ref)) < 1e-6
+    want = ema_update(params, p_new, 0.5)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_ctx_valid_batch_masks_keys():
+    """A (latents, context, valid) batch must reproduce the loss of the
+    physically-truncated context (mask parity, pipeline.py context())."""
+    params = tiny_params()["unet"]
+    opt = optax.adam(1e-3)
+    latents, context = _fixed_batch(b=2)
+    key = jax.random.PRNGKey(9)
+    step = jax.jit(make_train_step(TINY, opt))
+
+    n_keep = 5
+    valid = jnp.arange(context.shape[1])[None, :] < n_keep
+    valid = jnp.broadcast_to(valid, context.shape[:2])
+    _, _, loss_masked = step(params, opt.init(params),
+                             (latents, context, valid), key)
+    _, _, loss_trunc = step(params, opt.init(params),
+                            (latents, context[:, :n_keep]), key)
+    np.testing.assert_allclose(float(loss_masked), float(loss_trunc),
+                               rtol=1e-5)
+
+
+# --------------------------------------------------------------- dataset
+
+
+def _write_dataset(tmp_path, n=3, size=40):
+    from sdtpu.utils.image import save_png
+
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 256, (size, size - 4, 3), np.uint8)
+        save_png(img, str(tmp_path / f"img{i}.png"))
+        if i < n - 1:  # last example: no caption -> unconditional
+            (tmp_path / f"img{i}.txt").write_text(f"a photo number {i}")
+    return str(tmp_path)
+
+
+def test_center_crop_resize():
+    img = np.arange(48 * 40 * 3, dtype=np.uint8).reshape(48, 40, 3)
+    out = center_crop_resize(img, 32)
+    assert out.shape == (32, 32, 3)
+    same = center_crop_resize(np.zeros((32, 32, 3), np.uint8), 32)
+    assert same.shape == (32, 32, 3)
+
+
+def test_build_latent_cache_and_load(tmp_path, sd, tokenizer):
+    data_dir = _write_dataset(tmp_path)
+    cache = build_latent_cache(sd, tokenizer, data_dir,
+                               str(tmp_path / "cache.npz"), batch=2)
+    latents, contexts, n_valid = load_latent_cache(cache)
+    hw = TINY.latent_size
+    assert latents.shape == (3, hw, hw, 4)
+    assert contexts.shape == (3, TINY.clip.n_ctx, TINY.clip.n_state)
+    assert n_valid.dtype == np.int32 and (n_valid >= 2).all()
+
+    # latents are scaled into the sampler's latent space: re-encode
+    # example 0 by hand through the pipeline API and compare
+    from sdtpu.dataset import load_image_u8
+
+    img = center_crop_resize(
+        load_image_u8(os.path.join(data_dir, "img0.png")), TINY.image_size)
+    x = img.astype(np.float32)[None] / 127.5 - 1.0
+    # pad to the cache's jitted batch of 2 like build_latent_cache does
+    x2 = np.concatenate([x, np.zeros_like(x)])
+    want = np.asarray(sd.encode_image(x2))[0] * TINY.latent_scale
+    np.testing.assert_allclose(latents[0], want, rtol=1e-5, atol=1e-6)
+
+
+def test_latent_batches_shapes_and_determinism():
+    rng = np.random.default_rng(1)
+    lat = rng.standard_normal((3, 8, 8, 4)).astype(np.float32)
+    ctx = rng.standard_normal((3, 7, 16)).astype(np.float32)
+    nv = np.asarray([3, 5, 7], np.int32)
+
+    def take(n, **kw):
+        it = LatentBatches(lat, ctx, nv, batch_size=4, seed=42, **kw)
+        try:
+            return [next(it) for _ in range(n)]
+        finally:
+            it.close()
+
+    a = take(3, device=False)
+    b = take(3, device=False)
+    for (la, ca, va), (lb, cb, vb) in zip(a, b):
+        assert la.shape == (4, 8, 8, 4) and ca.shape == (4, 7, 16)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(va, vb)
+
+    # device path: n_valid becomes a [B, S] key mask
+    (dl, dc, dv), = take(1)
+    assert dv.shape == (4, 7) and dv.dtype == jnp.bool_.dtype
+    assert int(dv[0].sum()) in (3, 5, 7)
+
+
+# ------------------------------------------------------- resume + CLI
+
+
+def test_train_state_ema_roundtrip(tmp_path):
+    from sdtpu.io.checkpoint import restore_train_state, save_train_state
+
+    params = tiny_params()["unet"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    ema = jax.tree_util.tree_map(lambda p: p * 0.5, params)
+    path = str(tmp_path / "state")
+    save_train_state(path, params, opt_state, 17, ema=ema)
+    p2, o2, step, e2 = restore_train_state(
+        path, template=(params, opt_state), ema=ema)
+    assert step == 17
+    for a, b in zip(jax.tree_util.tree_leaves(ema),
+                    jax.tree_util.tree_leaves(e2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_finetune_and_resume(tmp_path, sd, tokenizer):
+    from sdtpu.finetune import run_finetune
+
+    data_dir = _write_dataset(tmp_path)
+    state_dir = str(tmp_path / "state")
+    logs = []
+    r1 = run_finetune(
+        sd, tokenizer, data_dir, str(tmp_path / "model_a"),
+        steps=2, batch_size=8, lr=1e-3, ema_decay=0.9, seed=0,
+        save_every=2, state_dir=state_dir, log_every=1, log=logs.append)
+    assert os.path.isdir(state_dir)
+    assert np.isfinite(r1["final_loss"])
+    assert any("loss" in line for line in logs)
+
+    r2 = run_finetune(
+        sd, tokenizer, data_dir, str(tmp_path / "model_b"),
+        steps=4, batch_size=8, lr=1e-3, ema_decay=0.9, seed=0,
+        state_dir=state_dir, resume=True, log_every=1, log=logs.append)
+    assert any("resumed step 2" in line for line in logs)
+    assert os.path.exists(r2["out_path"])
+
+    # the written model loads back through the native reader and its
+    # UNet differs from the base (it trained), other trees are intact
+    from sdtpu.io.native import load_native
+
+    params2, cfg2 = load_native(r2["out_path"])
+    assert cfg2.name == TINY.name
+    base_leaf = np.asarray(
+        jax.tree_util.tree_leaves(sd.params["unet"])[0])
+    new_leaf = np.asarray(jax.tree_util.tree_leaves(params2["unet"])[0])
+    assert not np.array_equal(base_leaf, new_leaf)
+
+
+def test_finetune_cli_smoke(tmp_path, capsys):
+    from sdtpu.cli import finetune_main
+    from sdtpu.io.native import save_native
+
+    model_path = str(tmp_path / "base.safetensors")
+    save_native(tiny_params(), model_path, TINY)
+    data_path = tmp_path / "data"
+    data_path.mkdir()
+    data_dir = _write_dataset(data_path, n=2)
+    out = str(tmp_path / "tuned")
+    finetune_main([
+        "finetune", "native", model_path, data_dir, out,
+        "--steps", "2", "--batch", "8", "--lr", "1e-3", "--seed", "1",
+    ])
+    captured = capsys.readouterr()
+    assert "Done: final loss" in captured.out
+    assert os.path.exists(out + ".safetensors")
