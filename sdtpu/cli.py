@@ -13,7 +13,8 @@ convert (reference: src/bin/convert/main.rs:36-58):
 
 Extra (sdtpu-only) flags for `sample`: --seed N for reproducible latents
 (the reference is unseeded, mod.rs:115-121), --preset sd-v1-4|sd-v1-5|
-sd-v2-1, --bf16, --batch N.
+sd-v2-1, --bf16, --batch N, --negative "text" (replaces the empty-string
+unconditional context in CFG).
 
 finetune (sdtpu-only, no reference equivalent — see finetune_main):
     finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
@@ -90,6 +91,7 @@ def sample_main(argv=None) -> None:
     bf16 = False
     batch = 1
     sampler = "ddim"
+    negative = ""
     i = 1
     positional = [argv[0]]
 
@@ -115,6 +117,8 @@ def sample_main(argv=None) -> None:
             if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
                 _fail("Error: --sampler must be "
                       "ddim|dpmpp|euler|euler_a|heun")
+        elif a == "--negative":
+            negative = flag_value(i); i += 2
         else:
             positional.append(a); i += 1
     argv = positional
@@ -157,7 +161,8 @@ def sample_main(argv=None) -> None:
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(seed) if seed is not None else None
     images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
-                         n_images=batch, key=key, sampler=sampler)
+                         n_images=batch, key=key, sampler=sampler,
+                         negative_prompt=negative)
     dt = time.perf_counter() - t0
     with profiling.phase("save_png"):
         paths = save_images(images, output_name)

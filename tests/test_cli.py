@@ -4,15 +4,38 @@ the final argument used to raise IndexError)."""
 
 import pytest
 
-from sdtpu.cli import sample_main
+from sdtpu.cli import finetune_main, sample_main
 
 
-@pytest.mark.parametrize("flag", ["--sampler", "--seed", "--batch", "--preset"])
+@pytest.mark.parametrize("flag", ["--sampler", "--seed", "--batch",
+                                  "--preset", "--negative"])
 def test_value_flag_at_end_gives_usage_error(flag, capsys):
     with pytest.raises(SystemExit) as e:
         sample_main(["sample", "dump", "model", "7.5", "20", "p", "out", flag])
     assert e.value.code == 1
     assert f"{flag} requires a value" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize("flag", ["--steps", "--lr", "--state-dir", "--opt"])
+def test_finetune_value_flag_at_end_gives_usage_error(flag, capsys):
+    with pytest.raises(SystemExit) as e:
+        finetune_main(["finetune", "native", "m", "data", "out", flag])
+    assert e.value.code == 1
+    assert f"{flag} requires a value" in capsys.readouterr().err
+
+
+def test_finetune_wrong_positional_count(capsys):
+    with pytest.raises(SystemExit) as e:
+        finetune_main(["finetune", "native", "m"])
+    assert e.value.code == 1
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_finetune_bad_opt_value(capsys):
+    with pytest.raises(SystemExit) as e:
+        finetune_main(["finetune", "--opt", "lion", "native", "m", "d", "o"])
+    assert e.value.code == 1
+    assert "--opt must be" in capsys.readouterr().err
 
 
 def test_bad_sampler_value(capsys):
