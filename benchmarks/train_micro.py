@@ -46,11 +46,16 @@ def main():
     print(f"params: {n_params/1e6:.1f}M (f32 master + f32 AdamW m/v)",
           flush=True)
 
-    for batch, remat, res in ((4, True, 64), (2, True, 64),
-                              (1, True, 128), (2, True, 128)):
+    # (batch, accum, remat, res): accum>1 scans `accum` micro-batches of
+    # batch/accum inside one jitted step (training.make_train_step) —
+    # activation memory of the micro-batch, optimizer sees the full
+    # effective batch. batch 16 does NOT fit without accumulation.
+    for batch, accum, remat, res in ((4, 1, True, 64), (2, 1, True, 64),
+                                     (1, 1, True, 128), (2, 1, True, 128),
+                                     (8, 2, True, 64), (16, 4, True, 64)):
         step = jax.jit(
             make_train_step(cfg, opt, compute_dtype=jnp.bfloat16,
-                            remat=remat),
+                            remat=remat, accum=accum),
             donate_argnums=(0, 1))
         latents = jax.random.normal(jax.random.PRNGKey(1),
                                     (batch, res, res, 4), jnp.float32)
@@ -71,7 +76,8 @@ def main():
                 loss = float(loss)
                 ts.append(time.perf_counter() - t0)
             ms = min(ts) * 1000
-            print(f"batch {batch} {res*8}px remat={remat}: {ms:8.1f}ms/step "
+            print(f"batch {batch} accum {accum} {res*8}px remat={remat}: "
+                  f"{ms:8.1f}ms/step "
                   f"({batch/ms*1000:.2f} img/s) loss {loss:.4f} "
                   f"compile+first {compile_s:.1f}s", flush=True)
             del p, o
@@ -81,8 +87,8 @@ def main():
             opt_state = jax.jit(opt.init)(params)
             jax.block_until_ready(opt_state)
         except Exception as e:
-            print(f"batch {batch} {res*8}px remat={remat}: FAIL {str(e)[:140]}",
-                  flush=True)
+            print(f"batch {batch} accum {accum} {res*8}px remat={remat}: "
+                  f"FAIL {str(e)[:140]}", flush=True)
             # donated buffers are consumed even on failure — drop every
             # reference (incl. the compiled executable) before rebuilding
             import gc

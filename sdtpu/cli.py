@@ -14,7 +14,8 @@ convert (reference: src/bin/convert/main.rs:36-58):
 Extra (sdtpu-only) flags for `sample`: --seed N for reproducible latents
 (the reference is unseeded, mod.rs:115-121), --preset sd-v1-4|sd-v1-5|
 sd-v2-1, --bf16, --batch N, --negative "text" (replaces the empty-string
-unconditional context in CFG).
+unconditional context in CFG), --init-image PATH [--strength F] for
+img2img, plus --mask PATH (white = regenerate) for inpainting.
 
 finetune (sdtpu-only, no reference equivalent — see finetune_main):
     finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
@@ -92,6 +93,9 @@ def sample_main(argv=None) -> None:
     batch = 1
     sampler = "ddim"
     negative = ""
+    init_image = None
+    strength = 0.75
+    mask_path = None
     i = 1
     positional = [argv[0]]
 
@@ -119,6 +123,12 @@ def sample_main(argv=None) -> None:
                       "ddim|dpmpp|euler|euler_a|heun")
         elif a == "--negative":
             negative = flag_value(i); i += 2
+        elif a == "--init-image":
+            init_image = flag_value(i); i += 2
+        elif a == "--strength":
+            strength = float(flag_value(i)); i += 2
+        elif a == "--mask":
+            mask_path = flag_value(i); i += 2
         else:
             positional.append(a); i += 1
     argv = positional
@@ -160,9 +170,31 @@ def sample_main(argv=None) -> None:
     print("Sampling image...")
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(seed) if seed is not None else None
-    images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
-                         n_images=batch, key=key, sampler=sampler,
-                         negative_prompt=negative)
+    if init_image is not None:
+        # img2img / inpaint: --init-image PATH [--strength F] [--mask PATH]
+        from sdtpu.dataset import center_crop_resize, load_image_u8
+
+        img = center_crop_resize(load_image_u8(init_image),
+                                 sd.config.image_size)
+        x = np.tile(img.astype(np.float32)[None] / 127.5 - 1.0,
+                    (batch, 1, 1, 1))
+        if mask_path is not None:
+            # white (>=50% luma) pixels are REGENERATED, black kept
+            m = center_crop_resize(load_image_u8(mask_path),
+                                   sd.config.image_size)
+            mask = np.tile((m.mean(axis=-1) > 127.5
+                            ).astype(np.float32)[None], (batch, 1, 1))
+            images = sd.inpaint(tokenizer, prompt, x, mask,
+                                guidance_scale, n_steps, key=key,
+                                negative_prompt=negative)
+        else:
+            images = sd.img2img(tokenizer, prompt, x, strength,
+                                guidance_scale, n_steps, key=key,
+                                sampler=sampler, negative_prompt=negative)
+    else:
+        images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
+                             n_images=batch, key=key, sampler=sampler,
+                             negative_prompt=negative)
     dt = time.perf_counter() - t0
     with profiling.phase("save_png"):
         paths = save_images(images, output_name)

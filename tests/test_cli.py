@@ -8,7 +8,8 @@ from sdtpu.cli import finetune_main, sample_main
 
 
 @pytest.mark.parametrize("flag", ["--sampler", "--seed", "--batch",
-                                  "--preset", "--negative"])
+                                  "--preset", "--negative", "--init-image",
+                                  "--strength", "--mask"])
 def test_value_flag_at_end_gives_usage_error(flag, capsys):
     with pytest.raises(SystemExit) as e:
         sample_main(["sample", "dump", "model", "7.5", "20", "p", "out", flag])
