@@ -6,7 +6,9 @@ pieces the library already has into the loop a user actually runs:
 
     dataset.build_latent_cache   (VAE+CLIP encode once, cached npz)
     dataset.LatentBatches        (shuffled, host-prefetched device batches)
-    training.make_train_step     (grad-accum, remat, optional in-step EMA)
+    training.make_train_step     (remat; accum via optax.MultiSteps
+                                  micro-stepping - see its docstring for
+                                  why not the in-jit scan at SD scale)
     io.checkpoint                (orbax train-state save/resume)
     io.native.save_native        (finetuned model -> .safetensors)
 
@@ -31,7 +33,7 @@ from sdtpu.config import StableDiffusionConfig
 from sdtpu.dataset import LatentBatches, build_latent_cache, load_latent_cache
 from sdtpu.io.checkpoint import restore_train_state, save_train_state
 from sdtpu.io.native import save_native
-from sdtpu.training import make_optimizer, make_train_step
+from sdtpu.training import ema_update, make_optimizer, make_train_step
 
 
 def resolve_cache(sd, tokenizer, data: str, batch: int = 8) -> str:
@@ -92,18 +94,31 @@ def run_finetune(
         from sdtpu.parallel import (make_mesh, param_shardings, shard_batch)
 
         mesh = make_mesh(dp=len(devices) // tp, tp=tp, devices=devices)
-        if batch_size % mesh.shape["dp"]:
+        if (batch_size // accum) % mesh.shape["dp"]:
             raise ValueError(
-                f"batch_size {batch_size} must be divisible by dp="
-                f"{mesh.shape['dp']} on a {len(devices)}-device backend")
+                f"micro-batch {batch_size}//{accum} must be divisible by "
+                f"dp={mesh.shape['dp']} on a {len(devices)}-device backend")
         unet_params = jax.device_put(
             unet_params, param_shardings({"unet": unet_params}, mesh)["unet"])
         stage = lambda a: shard_batch(a, mesh)  # noqa: E731
         log(f"mesh: dp={mesh.shape['dp']} tp={mesh.shape['tp']}")
 
+    if batch_size % accum:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"accum {accum}")
+    micro_bs = batch_size // accum
     opt = make_optimizer(lr=lr, warmup_steps=warmup_steps, total_steps=steps,
                          weight_decay=weight_decay, grad_clip=grad_clip,
                          kind=opt_kind)
+    if accum > 1:
+        # per-micro-batch stepping: MultiSteps averages `accum` gradients
+        # then applies one inner update. Chosen over the in-jit scan of
+        # training.make_train_step(accum=k) because the scanned grads-tree
+        # carry crashes the remote TPU compiler at SD-v1 scale (see the
+        # make_train_step docstring caveat).
+        import optax
+
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
     opt_state = opt.init(unet_params)
     ema_params = unet_params if ema_decay is not None else None
 
@@ -120,31 +135,35 @@ def run_finetune(
                 state_dir, template=(unet_params, opt_state))
         log(f"resumed step {step0} from {state_dir}")
 
+    # EMA is applied host-side at optimizer-step boundaries (with accum>1
+    # the params only change on every accum-th call; folding EMA into the
+    # micro step would compound the decay accum times per update)
     step_fn = make_train_step(cfg, opt, compute_dtype=compute_dtype,
-                              remat=remat, accum=accum, ema_decay=ema_decay)
+                              remat=remat)
     # donation frees the previous params/opt/ema buffers in-place on TPU
     # (load-bearing for full-size models, BENCHLOG training notes); the
     # CPU backend can't donate and would warn every step, so skip there
-    donate = ()
-    if jax.default_backend() != "cpu":
-        donate = (0, 1, 2) if ema_decay is not None else (0, 1)
-    step_jit = jax.jit(step_fn, donate_argnums=donate)
+    on_tpu = jax.default_backend() != "cpu"
+    step_jit = jax.jit(step_fn, donate_argnums=(0, 1) if on_tpu else ())
+    ema_jit = jax.jit(ema_update, donate_argnums=(0,) if on_tpu else (),
+                      static_argnums=(2,))
 
     batches = LatentBatches(latents, contexts, n_valid,
-                            batch_size=batch_size, seed=seed, sharding=stage)
+                            batch_size=micro_bs, seed=seed, sharding=stage)
     key = jax.random.PRNGKey(seed)
     losses = []
     t_start = time.perf_counter()
     try:
-        for i in range(step0, steps):
+        for micro in range(step0 * accum, steps * accum):
             key, sub = jax.random.split(key)
             batch = next(batches)
+            unet_params, opt_state, loss = step_jit(
+                unet_params, opt_state, batch, sub)
+            if (micro + 1) % accum:
+                continue  # optimizer boundary not reached yet
+            i = (micro + 1) // accum - 1  # completed optimizer step index
             if ema_decay is not None:
-                unet_params, opt_state, ema_params, loss = step_jit(
-                    unet_params, opt_state, ema_params, batch, sub)
-            else:
-                unet_params, opt_state, loss = step_jit(
-                    unet_params, opt_state, batch, sub)
+                ema_params = ema_jit(ema_params, unet_params, ema_decay)
             if log_every and (i % log_every == 0 or i + 1 == steps):
                 loss_f = float(loss)  # syncs; cadence bounded by log_every
                 losses.append((i, loss_f))

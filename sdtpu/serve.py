@@ -9,6 +9,8 @@ single-stream per host process), and JSON/PNG responses.
     curl -X POST localhost:8000/generate \
          -d '{"prompt": "an ancient mossy stone", "steps": 20, "seed": 1}'
     # -> {"images": ["<base64 png>"], "latency_s": ...}
+    curl -X POST localhost:8000/img2img \
+         -d '{"prompt": "...", "init_image": "<base64 png>", "strength": 0.6}'
     curl localhost:8000/healthz
 """
 
@@ -218,6 +220,34 @@ def _generate(prompt, steps, scale, seed, batch, negative, sampler="ddim"):
             "images_per_sec": round(len(pngs) / dt, 3)}
 
 
+def _img2img(prompt, init_image_b64, strength, steps, scale, seed, batch,
+             negative, sampler="ddim"):
+    """Non-batched img2img (each request carries its own image payload, so
+    cross-request fusion buys little; JAX dispatch is thread-safe and the
+    lock keeps this from interleaving with the text batcher's steps)."""
+    import jax
+    import numpy as np
+
+    from sdtpu.dataset import center_crop_resize
+    from sdtpu.utils.image import decode_png_rgb8, encode_png_rgb8
+
+    img = decode_png_rgb8(base64.b64decode(init_image_b64))
+    img = center_crop_resize(img, STATE.sd.config.image_size)
+    x = np.tile(img.astype(np.float32)[None] / 127.5 - 1.0, (batch, 1, 1, 1))
+    key = jax.random.PRNGKey(seed if seed is not None
+                             else time.monotonic_ns() % (2 ** 63))
+    t0 = time.perf_counter()
+    with STATE.lock:
+        imgs = STATE.sd.img2img(STATE.tokenizer, prompt, x, strength,
+                                scale, steps, key=key, sampler=sampler,
+                                negative_prompt=negative)
+    dt = time.perf_counter() - t0
+    pngs = [base64.b64encode(encode_png_rgb8(np.asarray(im))).decode()
+            for im in imgs]
+    return {"images": pngs, "latency_s": round(dt, 3),
+            "images_per_sec": round(len(pngs) / dt, 3)}
+
+
 class Handler(BaseHTTPRequestHandler):
     def _send(self, code, obj):
         body = json.dumps(obj).encode()
@@ -235,7 +265,7 @@ class Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path != "/generate":
+        if self.path not in ("/generate", "/img2img"):
             self._send(404, {"error": "not found"})
             return
         try:
@@ -253,13 +283,23 @@ class Handler(BaseHTTPRequestHandler):
             if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
                 raise ValueError(
                     "sampler must be ddim|dpmpp|euler|euler_a|heun")
+            if self.path == "/img2img":
+                init_image = req["init_image"]  # base64 PNG
+                strength = float(req.get("strength", 0.75))
+                if not (0.0 < strength <= 1.0):
+                    raise ValueError("strength in (0,1]")
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e}"})
             return
         try:
-            self._send(200, _generate(prompt, steps, scale,
-                                      None if seed is None else int(seed),
-                                      batch, negative, sampler))
+            seed = None if seed is None else int(seed)
+            if self.path == "/img2img":
+                self._send(200, _img2img(prompt, init_image, strength,
+                                         steps, scale, seed, batch,
+                                         negative, sampler))
+            else:
+                self._send(200, _generate(prompt, steps, scale, seed,
+                                          batch, negative, sampler))
         except Overloaded as e:
             self._send(503, {"error": str(e)})
         except RequestTimeout as e:

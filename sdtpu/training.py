@@ -121,6 +121,16 @@ def make_train_step(cfg: StableDiffusionConfig, optimizer: optax.GradientTransfo
     configurations are numerically interchangeable up to f32 summation
     order.
 
+    CAVEAT (measured 2026-08, axon v5e): at SD-v1 scale the remote TPU
+    compile helper crashes (exit 1) on this scan - the XLA while loop
+    carries the full ~700-leaf/3.4GB grads tree, which the server-side
+    compiler does not survive at 860M params (SD_TINY compiles fine;
+    remat / Pallas-vs-XLA / micro-batch size are all irrelevant). For
+    full-size models use per-micro-batch stepping with
+    optax.MultiSteps(opt, accum) and accum=1 here - the per-call graph
+    is the plain step that compiles - which is exactly what
+    finetune.run_finetune does.
+
     ema_decay set: the step also carries an EMA shadow of the params (the
     weights SD actually ships) - signature becomes
     train_step(params, opt_state, ema_params, batch, key) ->

@@ -28,9 +28,9 @@ def server_port():
     server.shutdown()
 
 
-def _post(port, payload):
+def _post(port, payload, path="/generate"):
     req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/generate",
+        f"http://127.0.0.1:{port}{path}",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
@@ -65,6 +65,36 @@ def test_generate_errors(server_port):
     code, resp = _post(server_port, {"prompt": "x", "steps": 0})
     assert code == 400
     code, resp = _post(server_port, {"prompt": "x", "n_images": 99})
+    assert code == 400
+
+
+def test_img2img_endpoint(server_port):
+    # generate a base image through /generate, then feed it back
+    code, resp = _post(server_port, {"prompt": "a stone", "steps": 2,
+                                     "seed": 3})
+    assert code == 200, resp
+    init_b64 = resp["images"][0]
+
+    code, resp = _post(server_port, {
+        "prompt": "a mossy stone", "init_image": init_b64,
+        "strength": 0.5, "steps": 2, "seed": 4,
+    }, path="/img2img")
+    assert code == 200, resp
+    img = decode_png_rgb8(base64.b64decode(resp["images"][0]))
+    assert img.shape == (32, 32, 3)
+
+    # same request, same seed -> deterministic
+    code2, resp2 = _post(server_port, {
+        "prompt": "a mossy stone", "init_image": init_b64,
+        "strength": 0.5, "steps": 2, "seed": 4,
+    }, path="/img2img")
+    assert resp2["images"][0] == resp["images"][0]
+
+    # missing init_image / bad strength -> 400
+    code, resp = _post(server_port, {"prompt": "x"}, path="/img2img")
+    assert code == 400 and "init_image" in resp["error"]
+    code, resp = _post(server_port, {"prompt": "x", "init_image": init_b64,
+                                     "strength": 1.5}, path="/img2img")
     assert code == 400
 
 

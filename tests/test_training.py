@@ -87,6 +87,46 @@ def test_grad_accum_equivalence():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_multisteps_micro_stepping_matches_mean_grad():
+    """run_finetune's accum strategy (optax.MultiSteps + per-micro-batch
+    calls; chosen because the in-jit scan crashes the remote TPU compiler
+    at SD scale — training.make_train_step docstring): the first micro
+    call must leave params untouched, the accum-th call must apply the
+    MEAN of the micro gradients."""
+    from sdtpu.training import diffusion_loss
+
+    params = tiny_params()["unet"]
+    opt = optax.MultiSteps(optax.sgd(1.0), every_k_schedule=2)
+    step = jax.jit(make_train_step(TINY, opt))
+    micro1, micro2 = _fixed_batch(b=2, seed=1), _fixed_batch(b=2, seed=2)
+    key_a, key_b = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+
+    def manual_grad(batch, key):
+        # replicate step_core's internal draws exactly
+        latents, context = batch
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (latents.shape[0],), 0,
+                               TINY.n_train_steps)
+        noise = jax.random.normal(kn, latents.shape, jnp.float32)
+        return jax.grad(lambda p: diffusion_loss(
+            p, TINY, latents, context, t, noise))(params)
+
+    p1, o1, _ = step(params, opt.init(params), micro1, key_a)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p2, o2, _ = step(p1, o1, micro2, key_b)
+    g1, g2 = manual_grad(micro1, key_a), manual_grad(micro2, key_b)
+    for p0, pn, a, b in zip(jax.tree_util.tree_leaves(params),
+                            jax.tree_util.tree_leaves(p2),
+                            jax.tree_util.tree_leaves(g1),
+                            jax.tree_util.tree_leaves(g2)):
+        want = np.asarray(p0) - (np.asarray(a) + np.asarray(b)) / 2.0
+        np.testing.assert_allclose(np.asarray(pn), want,
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_accum_rejects_indivisible_batch():
     step = jax.jit(make_train_step(TINY, optax.adam(1e-3), accum=3))
     params = tiny_params()["unet"]
