@@ -15,7 +15,8 @@ Extra (sdtpu-only) flags for `sample`: --seed N for reproducible latents
 (the reference is unseeded, mod.rs:115-121), --preset sd-v1-4|sd-v1-5|
 sd-v2-1, --bf16, --batch N, --negative "text" (replaces the empty-string
 unconditional context in CFG), --init-image PATH [--strength F] for
-img2img, plus --mask PATH (white = regenerate) for inpainting.
+img2img, --mask PATH (white = regenerate) for inpainting, and
+--lora ADAPTER.safetensors to apply a fine-tuned LoRA adapter.
 
 finetune (sdtpu-only, no reference equivalent — see finetune_main):
     finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
@@ -96,6 +97,7 @@ def sample_main(argv=None) -> None:
     init_image = None
     strength = 0.75
     mask_path = None
+    lora_path = None
     i = 1
     positional = [argv[0]]
 
@@ -129,6 +131,8 @@ def sample_main(argv=None) -> None:
             strength = float(flag_value(i)); i += 2
         elif a == "--mask":
             mask_path = flag_value(i); i += 2
+        elif a == "--lora":
+            lora_path = flag_value(i); i += 2
         else:
             positional.append(a); i += 1
     argv = positional
@@ -166,6 +170,15 @@ def sample_main(argv=None) -> None:
     with profiling.phase("load_model"):
         sd = load_model(model_type, model_name, preset,
                         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    if lora_path is not None:
+        # apply a LoRA adapter on top of the loaded weights (finetune
+        # --lora-rank output); keeps the weight dtype, so bf16 stays bf16
+        from sdtpu.lora import apply_lora, load_lora
+
+        lora, scale, _meta = load_lora(lora_path)
+        sd.params = {**sd.params,
+                     "unet": apply_lora(sd.params["unet"], lora, scale)}
+        print(f"Applied LoRA adapter {lora_path} (scale {scale:g})")
 
     print("Sampling image...")
     t0 = time.perf_counter()
@@ -214,14 +227,19 @@ def finetune_main(argv=None) -> None:
              [--steps N] [--batch B] [--accum K] [--lr F] [--ema DECAY]
              [--bf16] [--remat] [--opt adamw|adafactor] [--save-every N]
              [--state-dir DIR] [--resume] [--preset P] [--seed N] [--tp N]
-             [--device cpu|tpu]
+             [--device cpu|tpu] [--lora-rank R] [--lora-alpha A]
+
+    --lora-rank trains a LoRA adapter over the attention linears instead
+    of the full UNet (sdtpu/lora.py); writes both the merged model and
+    `<out_model>.lora.safetensors`.
     """
     argv = list(sys.argv if argv is None else argv)
 
     opts = {"steps": 100, "batch": 4, "accum": 1, "lr": 1e-5, "ema": None,
             "bf16": False, "remat": False, "opt": "adamw", "save_every": 0,
             "state_dir": None, "resume": False, "preset": "sd-v1-4",
-            "seed": 0, "tp": 1, "device": None}
+            "seed": 0, "tp": 1, "device": None, "lora_rank": None,
+            "lora_alpha": None}
     i, positional = 1, [argv[0]]
 
     def flag_value(idx: int) -> str:
@@ -263,6 +281,10 @@ def finetune_main(argv=None) -> None:
             opts["tp"] = int(flag_value(i)); i += 2
         elif a == "--device":
             opts["device"] = flag_value(i); i += 2
+        elif a == "--lora-rank":
+            opts["lora_rank"] = int(flag_value(i)); i += 2
+        elif a == "--lora-alpha":
+            opts["lora_alpha"] = float(flag_value(i)); i += 2
         else:
             positional.append(a); i += 1
 
@@ -295,7 +317,8 @@ def finetune_main(argv=None) -> None:
         compute_dtype=jnp.bfloat16 if opts["bf16"] else jnp.float32,
         remat=opts["remat"], tp=opts["tp"], seed=opts["seed"],
         save_every=opts["save_every"], state_dir=opts["state_dir"],
-        resume=opts["resume"],
+        resume=opts["resume"], lora_rank=opts["lora_rank"],
+        lora_alpha=opts["lora_alpha"],
     )
     print(f"Done: final loss {result['final_loss']:.5f}, "
           f"{result['steps_per_sec']:.2f} steps/sec, "

@@ -64,6 +64,8 @@ def run_finetune(
     grad_clip: float = 1.0,
     opt_kind: str = "adamw",
     ema_decay: Optional[float] = None,
+    lora_rank: Optional[int] = None,
+    lora_alpha: Optional[float] = None,
     compute_dtype=jnp.float32,
     remat: bool = False,
     tp: int = 1,
@@ -119,8 +121,30 @@ def run_finetune(
         import optax
 
         opt = optax.MultiSteps(opt, every_k_schedule=accum)
-    opt_state = opt.init(unet_params)
-    ema_params = unet_params if ema_decay is not None else None
+
+    # the trainable tree: the full UNet, or a LoRA adapter over its
+    # attention linears (base frozen; optimizer state shrinks from GBs
+    # to MBs, so much larger batches fit)
+    lora_scale = None
+    if lora_rank:
+        from sdtpu.lora import (init_lora, lora_param_count,
+                                make_lora_train_step)
+
+        alpha = float(lora_alpha if lora_alpha is not None else lora_rank)
+        lora_scale = alpha / lora_rank
+        train_tree = init_lora(jax.random.PRNGKey(seed + 1), unet_params,
+                               rank=lora_rank)
+        log(f"LoRA rank {lora_rank} alpha {alpha:g}: "
+            f"{lora_param_count(train_tree)/1e6:.2f}M adapter params")
+        step_fn = make_lora_train_step(cfg, opt, lora_scale,
+                                       compute_dtype=compute_dtype,
+                                       remat=remat)
+    else:
+        train_tree = unet_params
+        step_fn = make_train_step(cfg, opt, compute_dtype=compute_dtype,
+                                  remat=remat)
+    opt_state = opt.init(train_tree)
+    ema_params = train_tree if ema_decay is not None else None
 
     step0 = 0
     if resume:
@@ -128,18 +152,16 @@ def run_finetune(
             raise FileNotFoundError(
                 f"--resume: no train state at {state_dir!r}")
         if ema_params is not None:
-            unet_params, opt_state, step0, ema_params = restore_train_state(
-                state_dir, template=(unet_params, opt_state), ema=ema_params)
+            train_tree, opt_state, step0, ema_params = restore_train_state(
+                state_dir, template=(train_tree, opt_state), ema=ema_params)
         else:
-            unet_params, opt_state, step0 = restore_train_state(
-                state_dir, template=(unet_params, opt_state))
+            train_tree, opt_state, step0 = restore_train_state(
+                state_dir, template=(train_tree, opt_state))
         log(f"resumed step {step0} from {state_dir}")
 
     # EMA is applied host-side at optimizer-step boundaries (with accum>1
     # the params only change on every accum-th call; folding EMA into the
     # micro step would compound the decay accum times per update)
-    step_fn = make_train_step(cfg, opt, compute_dtype=compute_dtype,
-                              remat=remat)
     # donation frees the previous params/opt/ema buffers in-place on TPU
     # (load-bearing for full-size models, BENCHLOG training notes); the
     # CPU backend can't donate and would warn every step, so skip there
@@ -157,19 +179,23 @@ def run_finetune(
         for micro in range(step0 * accum, steps * accum):
             key, sub = jax.random.split(key)
             batch = next(batches)
-            unet_params, opt_state, loss = step_jit(
-                unet_params, opt_state, batch, sub)
+            if lora_rank:
+                train_tree, opt_state, loss = step_jit(
+                    train_tree, opt_state, unet_params, batch, sub)
+            else:
+                train_tree, opt_state, loss = step_jit(
+                    train_tree, opt_state, batch, sub)
             if (micro + 1) % accum:
                 continue  # optimizer boundary not reached yet
             i = (micro + 1) // accum - 1  # completed optimizer step index
             if ema_decay is not None:
-                ema_params = ema_jit(ema_params, unet_params, ema_decay)
+                ema_params = ema_jit(ema_params, train_tree, ema_decay)
             if log_every and (i % log_every == 0 or i + 1 == steps):
                 loss_f = float(loss)  # syncs; cadence bounded by log_every
                 losses.append((i, loss_f))
                 log(f"step {i + 1}/{steps} loss {loss_f:.5f}")
             if save_every and state_dir and (i + 1) % save_every == 0:
-                save_train_state(state_dir, unet_params, opt_state, i + 1,
+                save_train_state(state_dir, train_tree, opt_state, i + 1,
                                  ema=ema_params)
                 log(f"train state saved at step {i + 1} -> {state_dir}")
     finally:
@@ -177,12 +203,24 @@ def run_finetune(
     dt = time.perf_counter() - t_start
     final_loss = losses[-1][1] if losses else float("nan")
 
-    final_unet = ema_params if ema_decay is not None else unet_params
-    host_unet = jax.tree_util.tree_map(np.asarray, final_unet)
-    full = dict(sd.params)
-    full["unet"] = host_unet
+    final_tree = ema_params if ema_decay is not None else train_tree
     out_path = (out_model if out_model.endswith(".safetensors")
                 else f"{out_model}.safetensors")
+    lora_path = None
+    if lora_rank:
+        from sdtpu.lora import apply_lora, save_lora
+
+        adapter = jax.tree_util.tree_map(np.asarray, final_tree)
+        lora_path = out_path.replace(".safetensors", ".lora.safetensors")
+        save_lora(adapter, lora_path, rank=lora_rank, alpha=alpha,
+                  config_name=cfg.name)
+        log(f"adapter saved to {lora_path}")
+        host_unet = jax.tree_util.tree_map(
+            np.asarray, apply_lora(unet_params, adapter, lora_scale))
+    else:
+        host_unet = jax.tree_util.tree_map(np.asarray, final_tree)
+    full = dict(sd.params)
+    full["unet"] = host_unet
     save_native(full, out_path, cfg)
     log(f"model saved to {out_path}")
     n_run = max(steps - step0, 1)
@@ -191,5 +229,6 @@ def run_finetune(
         "final_loss": final_loss,
         "losses": losses,
         "out_path": out_path,
+        "lora_path": lora_path,
         "steps_per_sec": n_run / dt if dt > 0 else float("inf"),
     }

@@ -9,7 +9,7 @@ from sdtpu.cli import finetune_main, sample_main
 
 @pytest.mark.parametrize("flag", ["--sampler", "--seed", "--batch",
                                   "--preset", "--negative", "--init-image",
-                                  "--strength", "--mask"])
+                                  "--strength", "--mask", "--lora"])
 def test_value_flag_at_end_gives_usage_error(flag, capsys):
     with pytest.raises(SystemExit) as e:
         sample_main(["sample", "dump", "model", "7.5", "20", "p", "out", flag])
