@@ -227,7 +227,7 @@ def finetune_main(argv=None) -> None:
              [--steps N] [--batch B] [--accum K] [--lr F] [--ema DECAY]
              [--bf16] [--remat] [--opt adamw|adafactor] [--save-every N]
              [--state-dir DIR] [--resume] [--preset P] [--seed N] [--tp N]
-             [--device cpu|tpu] [--lora-rank R] [--lora-alpha A]
+             [--device cpu|tpu] [--lora-rank R] [--lora-alpha A] [--flip]
 
     --lora-rank trains a LoRA adapter over the attention linears instead
     of the full UNet (sdtpu/lora.py); writes both the merged model and
@@ -239,7 +239,7 @@ def finetune_main(argv=None) -> None:
             "bf16": False, "remat": False, "opt": "adamw", "save_every": 0,
             "state_dir": None, "resume": False, "preset": "sd-v1-4",
             "seed": 0, "tp": 1, "device": None, "lora_rank": None,
-            "lora_alpha": None}
+            "lora_alpha": None, "flip": False}
     i, positional = 1, [argv[0]]
 
     def flag_value(idx: int) -> str:
@@ -285,6 +285,8 @@ def finetune_main(argv=None) -> None:
             opts["lora_rank"] = int(flag_value(i)); i += 2
         elif a == "--lora-alpha":
             opts["lora_alpha"] = float(flag_value(i)); i += 2
+        elif a == "--flip":
+            opts["flip"] = True; i += 1
         else:
             positional.append(a); i += 1
 
@@ -318,7 +320,7 @@ def finetune_main(argv=None) -> None:
         remat=opts["remat"], tp=opts["tp"], seed=opts["seed"],
         save_every=opts["save_every"], state_dir=opts["state_dir"],
         resume=opts["resume"], lora_rank=opts["lora_rank"],
-        lora_alpha=opts["lora_alpha"],
+        lora_alpha=opts["lora_alpha"], flip=opts["flip"],
     )
     print(f"Done: final loss {result['final_loss']:.5f}, "
           f"{result['steps_per_sec']:.2f} steps/sec, "

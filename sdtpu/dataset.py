@@ -88,7 +88,7 @@ def center_crop_resize(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def build_latent_cache(sd, tokenizer, data_dir: str, out_path: str,
-                       batch: int = 8) -> str:
+                       batch: int = 8, flip: bool = False) -> str:
     """Encode every example once and write the cache npz.
 
     latents are stored ALREADY scaled into the sampler's latent space
@@ -97,28 +97,41 @@ def build_latent_cache(sd, tokenizer, data_dir: str, out_path: str,
     [n_ctx, D] CLIP sequences with per-example valid lengths (the
     key-validity mask reproduces unpadded softmax exactly, pipeline.py
     context()).
+
+    flip: also encode the horizontal mirror of every image (doubles the
+    cache). Done at the PIXEL level on purpose — the VAE's asymmetric
+    (0,1,0,1) padding means flipping a latent is NOT the latent of the
+    flipped image, so flip augmentation cannot be applied post-encode.
     """
     import jax.numpy as jnp
 
     examples = list_examples(data_dir)
     size = sd.config.image_size
     lat_list, ctx_list, nv_list = [], [], []
+
+    def encode_chunk(imgs):
+        x = imgs.astype(np.float32) / 127.5 - 1.0  # u8 -> [-1, 1]
+        # pad the tail chunk to the jitted batch shape, then slice
+        pad = batch - len(imgs)
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        z = sd.encode_image(x)[: len(imgs)]
+        return np.asarray(z.astype(jnp.float32)) * sd.config.latent_scale
+
     for start in range(0, len(examples), batch):
         chunk = examples[start:start + batch]
         imgs = np.stack([
             center_crop_resize(load_image_u8(p), size) for p, _ in chunk])
-        x = imgs.astype(np.float32) / 127.5 - 1.0  # u8 -> [-1, 1]
-        # pad the tail chunk to the jitted batch shape, then slice
-        pad = batch - len(chunk)
-        if pad:
-            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-        z = sd.encode_image(x)[: len(chunk)]
-        lat_list.append(np.asarray(z.astype(jnp.float32))
-                        * sd.config.latent_scale)
+        lat_list.append(encode_chunk(imgs))
+        if flip:
+            lat_list.append(encode_chunk(imgs[:, :, ::-1]))
         for _, caption in chunk:
             ctx, valid = sd.context(tokenizer, caption)
             ctx_list.append(np.asarray(ctx.astype(jnp.float32))[0])
             nv_list.append(int(np.asarray(valid).sum()))
+        if flip:  # mirrored copies share their caption's context
+            ctx_list.extend(ctx_list[-len(chunk):])
+            nv_list.extend(nv_list[-len(chunk):])
     np.savez(
         out_path,
         latents=np.concatenate(lat_list),

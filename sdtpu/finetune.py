@@ -36,16 +36,25 @@ from sdtpu.io.native import save_native
 from sdtpu.training import ema_update, make_optimizer, make_train_step
 
 
-def resolve_cache(sd, tokenizer, data: str, batch: int = 8) -> str:
+def resolve_cache(sd, tokenizer, data: str, batch: int = 8,
+                  flip: bool = False) -> str:
     """`data` is either a prebuilt cache npz or a dataset directory; build
-    (or reuse) the per-config cache next to the directory's images."""
+    (or reuse) the per-config cache next to the directory's images. A
+    cache older than any image/caption in the directory is rebuilt."""
     if data.endswith(".npz"):
         if not os.path.exists(data):
             raise FileNotFoundError(f"latent cache not found: {data}")
         return data
-    cache = os.path.join(data, f"sdtpu_cache_{sd.config.name}.npz")
-    if not os.path.exists(cache):
-        build_latent_cache(sd, tokenizer, data, cache, batch=batch)
+    suffix = "_flip" if flip else ""
+    cache = os.path.join(data, f"sdtpu_cache_{sd.config.name}{suffix}.npz")
+    if os.path.exists(cache):
+        cache_mtime = os.path.getmtime(cache)
+        newest = max(os.path.getmtime(os.path.join(data, f))
+                     for f in os.listdir(data)
+                     if not f.startswith("sdtpu_cache_"))
+        if newest <= cache_mtime:
+            return cache
+    build_latent_cache(sd, tokenizer, data, cache, batch=batch, flip=flip)
     return cache
 
 
@@ -66,6 +75,7 @@ def run_finetune(
     ema_decay: Optional[float] = None,
     lora_rank: Optional[int] = None,
     lora_alpha: Optional[float] = None,
+    flip: bool = False,
     compute_dtype=jnp.float32,
     remat: bool = False,
     tp: int = 1,
@@ -81,7 +91,8 @@ def run_finetune(
     Returns {"steps", "final_loss", "losses", "out_path", "steps_per_sec"}.
     """
     cfg: StableDiffusionConfig = sd.config
-    cache = resolve_cache(sd, tokenizer, data, batch=min(8, batch_size))
+    cache = resolve_cache(sd, tokenizer, data, batch=min(8, batch_size),
+                          flip=flip)
     latents, contexts, n_valid = load_latent_cache(cache)
     log(f"dataset: {len(latents)} examples from {cache}")
 

@@ -220,6 +220,46 @@ def test_build_latent_cache_and_load(tmp_path, sd, tokenizer):
     np.testing.assert_allclose(latents[0], want, rtol=1e-5, atol=1e-6)
 
 
+def test_build_latent_cache_flip(tmp_path, sd, tokenizer):
+    """flip=True doubles the cache; the mirrored latent equals encoding
+    the mirrored PIXELS (a latent-space flip would be wrong under the
+    VAE's asymmetric padding — that's the point of encoding both)."""
+    data_dir = _write_dataset(tmp_path, n=2)
+    cache = build_latent_cache(sd, tokenizer, data_dir,
+                               str(tmp_path / "cache_flip.npz"),
+                               batch=2, flip=True)
+    latents, contexts, n_valid = load_latent_cache(cache)
+    assert latents.shape[0] == 4 and contexts.shape[0] == 4
+
+    from sdtpu.dataset import load_image_u8
+
+    img = center_crop_resize(
+        load_image_u8(os.path.join(data_dir, "img0.png")), TINY.image_size)
+    x = np.stack([img, img[:, ::-1]]).astype(np.float32) / 127.5 - 1.0
+    want = np.asarray(sd.encode_image(x)) * TINY.latent_scale
+    np.testing.assert_allclose(latents[2], want[1], rtol=1e-5, atol=1e-6)
+    # mirrored copies share the caption context
+    np.testing.assert_array_equal(contexts[0], contexts[2])
+    # and the mirror's latent is NOT a latent-space flip of the original
+    assert not np.allclose(latents[2], latents[0][:, ::-1], atol=1e-3)
+
+
+def test_resolve_cache_staleness(tmp_path, sd, tokenizer):
+    from sdtpu.finetune import resolve_cache
+
+    data_dir = _write_dataset(tmp_path, n=2)
+    c1 = resolve_cache(sd, tokenizer, data_dir, batch=2)
+    m1 = os.path.getmtime(c1)
+    assert resolve_cache(sd, tokenizer, data_dir, batch=2) == c1
+    assert os.path.getmtime(c1) == m1  # reused, not rebuilt
+
+    # touching an image invalidates the cache
+    os.utime(os.path.join(data_dir, "img0.png"),
+             (m1 + 10, m1 + 10))
+    resolve_cache(sd, tokenizer, data_dir, batch=2)
+    assert os.path.getmtime(c1) > m1  # rebuilt
+
+
 def test_latent_batches_shapes_and_determinism():
     rng = np.random.default_rng(1)
     lat = rng.standard_normal((3, 8, 8, 4)).astype(np.float32)
