@@ -154,6 +154,34 @@ def test_ema_in_step_matches_formula():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_v_prediction_loss_target():
+    """v-objective oracle: loss must be MSE against
+    v = sqrt(a_t)·eps − sqrt(1−a_t)·x0 (SD v2.1-768 target), computed
+    here independently from the same q-sampled input."""
+    import dataclasses
+
+    from sdtpu.models.unet import unet_apply
+    from sdtpu.ops.dispatch import force_xla
+    from sdtpu.training import cfg_alphas, diffusion_loss, q_sample
+
+    cfg_v = dataclasses.replace(TINY, prediction_type="v")
+    params = tiny_params()["unet"]
+    latents, context = _fixed_batch(b=2)
+    t = jnp.asarray([3, 700], jnp.int32)
+    noise = jax.random.normal(jax.random.PRNGKey(8), latents.shape)
+
+    got = float(diffusion_loss(params, cfg_v, latents, context, t, noise))
+
+    alphas = jnp.asarray(cfg_alphas(TINY))
+    x_t = q_sample(latents, noise, alphas, t)
+    with force_xla(allow_differentiable=True):
+        pred = unet_apply(params, x_t, t, context, TINY.unet)
+    a_t = alphas[t].reshape(-1, 1, 1, 1)
+    v = jnp.sqrt(a_t) * noise - jnp.sqrt(1.0 - a_t) * latents
+    want = float(jnp.mean((pred - v) ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_ctx_valid_batch_masks_keys():
     """A (latents, context, valid) batch must reproduce the loss of the
     physically-truncated context (mask parity, pipeline.py context())."""
