@@ -35,12 +35,19 @@ def main():
 
     base = jax.jit(lambda k: init_unet(k, cfg.unet, dtype=jnp.float32))(
         jax.random.PRNGKey(0))
+    import numpy as np
+
     rank = 8
-    lora = init_lora(jax.random.PRNGKey(1), base, rank=rank)
-    print(f"rank {rank}: {lora_param_count(lora)/1e6:.2f}M adapter params",
+    lora0 = init_lora(jax.random.PRNGKey(1), base, rank=rank)
+    # host copy: the train step donates its lora arg, so each config
+    # must start from a fresh device tree
+    lora_host = jax.tree_util.tree_map(np.asarray, lora0)
+    print(f"rank {rank}: {lora_param_count(lora0)/1e6:.2f}M adapter params",
           flush=True)
     opt = make_optimizer(lr=1e-4)
-    for batch, remat in ((4, True), (8, True), (16, True), (8, False)):
+    for batch, remat in ((4, True), (8, True), (16, True), (8, False),
+                         (16, False), (24, False)):
+        lora = jax.tree_util.tree_map(jnp.asarray, lora_host)
         opt_state = jax.jit(opt.init)(lora)
         step = jax.jit(
             make_lora_train_step(cfg, opt, scale=2.0,
