@@ -226,8 +226,12 @@ def run_finetune(
         save_lora(adapter, lora_path, rank=lora_rank, alpha=alpha,
                   config_name=cfg.name)
         log(f"adapter saved to {lora_path}")
-        host_unet = jax.tree_util.tree_map(
-            np.asarray, apply_lora(unet_params, adapter, lora_scale))
+        # merge against the HOST-resident originals (np in, np out): only
+        # the MB-scale adapter crosses the device boundary — fetching the
+        # 3.4GB device tree through a tunneled TPU takes minutes
+        host_base = jax.tree_util.tree_map(
+            lambda p: np.asarray(p, np.float32), sd.params["unet"])
+        host_unet = apply_lora(host_base, adapter, lora_scale)
     else:
         host_unet = jax.tree_util.tree_map(np.asarray, final_tree)
     full = dict(sd.params)
