@@ -11,6 +11,8 @@ single-stream per host process), and JSON/PNG responses.
     # -> {"images": ["<base64 png>"], "latency_s": ...}
     curl -X POST localhost:8000/img2img \
          -d '{"prompt": "...", "init_image": "<base64 png>", "strength": 0.6}'
+    curl -X POST localhost:8000/inpaint \
+         -d '{"prompt": "...", "init_image": "<b64>", "mask": "<b64, white=redo>"}'
     curl localhost:8000/healthz
 """
 
@@ -220,27 +222,50 @@ def _generate(prompt, steps, scale, seed, batch, negative, sampler="ddim"):
             "images_per_sec": round(len(pngs) / dt, 3)}
 
 
-def _img2img(prompt, init_image_b64, strength, steps, scale, seed, batch,
-             negative, sampler="ddim"):
-    """Non-batched img2img (each request carries its own image payload, so
-    cross-request fusion buys little; JAX dispatch is thread-safe and the
-    lock keeps this from interleaving with the text batcher's steps)."""
-    import jax
+def _decode_init_image(init_image_b64, batch):
     import numpy as np
 
     from sdtpu.dataset import center_crop_resize
-    from sdtpu.utils.image import decode_png_rgb8, encode_png_rgb8
+    from sdtpu.utils.image import decode_png_rgb8
 
     img = decode_png_rgb8(base64.b64decode(init_image_b64))
     img = center_crop_resize(img, STATE.sd.config.image_size)
-    x = np.tile(img.astype(np.float32)[None] / 127.5 - 1.0, (batch, 1, 1, 1))
+    return np.tile(img.astype(np.float32)[None] / 127.5 - 1.0,
+                   (batch, 1, 1, 1))
+
+
+def _img2img(prompt, init_image_b64, strength, steps, scale, seed, batch,
+             negative, sampler="ddim", mask_b64=None):
+    """Non-batched img2img / inpaint (each request carries its own image
+    payload, so cross-request fusion buys little; JAX dispatch is
+    thread-safe and the lock keeps this from interleaving with the text
+    batcher's steps). mask_b64 (white = regenerate) switches to the
+    RePaint-style inpaint path."""
+    import jax
+    import numpy as np
+
+    from sdtpu.utils.image import encode_png_rgb8
+
+    x = _decode_init_image(init_image_b64, batch)
     key = jax.random.PRNGKey(seed if seed is not None
                              else time.monotonic_ns() % (2 ** 63))
     t0 = time.perf_counter()
     with STATE.lock:
-        imgs = STATE.sd.img2img(STATE.tokenizer, prompt, x, strength,
-                                scale, steps, key=key, sampler=sampler,
-                                negative_prompt=negative)
+        if mask_b64 is not None:
+            from sdtpu.dataset import center_crop_resize
+            from sdtpu.utils.image import decode_png_rgb8
+
+            m = center_crop_resize(decode_png_rgb8(base64.b64decode(mask_b64)),
+                                   STATE.sd.config.image_size)
+            mask = np.tile((m.mean(axis=-1) > 127.5
+                            ).astype(np.float32)[None], (batch, 1, 1))
+            imgs = STATE.sd.inpaint(STATE.tokenizer, prompt, x, mask,
+                                    scale, steps, key=key,
+                                    negative_prompt=negative)
+        else:
+            imgs = STATE.sd.img2img(STATE.tokenizer, prompt, x, strength,
+                                    scale, steps, key=key, sampler=sampler,
+                                    negative_prompt=negative)
     dt = time.perf_counter() - t0
     pngs = [base64.b64encode(encode_png_rgb8(np.asarray(im))).decode()
             for im in imgs]
@@ -265,7 +290,7 @@ class Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path not in ("/generate", "/img2img"):
+        if self.path not in ("/generate", "/img2img", "/inpaint"):
             self._send(404, {"error": "not found"})
             return
         try:
@@ -283,20 +308,23 @@ class Handler(BaseHTTPRequestHandler):
             if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
                 raise ValueError(
                     "sampler must be ddim|dpmpp|euler|euler_a|heun")
-            if self.path == "/img2img":
+            mask = None
+            if self.path in ("/img2img", "/inpaint"):
                 init_image = req["init_image"]  # base64 PNG
                 strength = float(req.get("strength", 0.75))
                 if not (0.0 < strength <= 1.0):
                     raise ValueError("strength in (0,1]")
+            if self.path == "/inpaint":
+                mask = req["mask"]  # base64 PNG, white = regenerate
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e}"})
             return
         try:
             seed = None if seed is None else int(seed)
-            if self.path == "/img2img":
+            if self.path in ("/img2img", "/inpaint"):
                 self._send(200, _img2img(prompt, init_image, strength,
                                          steps, scale, seed, batch,
-                                         negative, sampler))
+                                         negative, sampler, mask_b64=mask))
             else:
                 self._send(200, _generate(prompt, steps, scale, seed,
                                           batch, negative, sampler))

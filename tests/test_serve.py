@@ -98,6 +98,33 @@ def test_img2img_endpoint(server_port):
     assert code == 400
 
 
+def test_inpaint_endpoint(server_port):
+    import numpy as np
+
+    from sdtpu.utils.image import encode_png_rgb8
+
+    code, resp = _post(server_port, {"prompt": "a stone", "steps": 2,
+                                     "seed": 5})
+    assert code == 200, resp
+    init_b64 = resp["images"][0]
+    mask = np.zeros((32, 32, 3), np.uint8)
+    mask[8:24, 8:24] = 255
+    mask_b64 = base64.b64encode(encode_png_rgb8(mask)).decode()
+
+    code, resp = _post(server_port, {
+        "prompt": "a mossy stone", "init_image": init_b64,
+        "mask": mask_b64, "steps": 2, "seed": 6,
+    }, path="/inpaint")
+    assert code == 200, resp
+    img = decode_png_rgb8(base64.b64decode(resp["images"][0]))
+    assert img.shape == (32, 32, 3)
+
+    # missing mask -> 400
+    code, resp = _post(server_port, {"prompt": "x", "init_image": init_b64},
+                       path="/inpaint")
+    assert code == 400 and "mask" in resp["error"]
+
+
 def test_concurrent_requests_batch(server_port):
     """Fire concurrent requests; the micro-batcher must fuse and answer
     all of them correctly (distinct prompts/seeds per request)."""
