@@ -237,10 +237,11 @@ def _decode_init_image(init_image_b64, batch):
 def _img2img(prompt, init_image_b64, strength, steps, scale, seed, batch,
              negative, sampler="ddim", mask_b64=None):
     """Non-batched img2img / inpaint (each request carries its own image
-    payload, so cross-request fusion buys little; JAX dispatch is
-    thread-safe and the lock keeps this from interleaving with the text
-    batcher's steps). mask_b64 (white = regenerate) switches to the
-    RePaint-style inpaint path."""
+    payload, so cross-request fusion buys little). STATE.lock serializes
+    image requests against EACH OTHER; the text batcher's worker runs
+    concurrently — JAX dispatch is thread-safe, the device just
+    interleaves the two streams. mask_b64 (white = regenerate) switches
+    to the RePaint-style inpaint path."""
     import jax
     import numpy as np
 
