@@ -15,8 +15,11 @@ Extra (sdtpu-only) flags for `sample`: --seed N for reproducible latents
 (the reference is unseeded, mod.rs:115-121), --preset sd-v1-4|sd-v1-5|
 sd-v2-1, --bf16, --batch N, --negative "text" (replaces the empty-string
 unconditional context in CFG), --init-image PATH [--strength F] for
-img2img, --mask PATH (white = regenerate) for inpainting, and
---lora ADAPTER.safetensors to apply a fine-tuned LoRA adapter.
+img2img, --mask PATH (white = regenerate) for inpainting,
+--lora ADAPTER.safetensors to apply a fine-tuned LoRA adapter,
+--concept TI.safetensors to use a learned textual-inversion placeholder
+(finetune --ti output) in the prompt, and --karras for Karras (2022)
+sigma spacing on the sigma-ladder samplers (dpmpp/euler/euler_a/heun).
 
 finetune (sdtpu-only, no reference equivalent — see finetune_main):
     finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
@@ -98,6 +101,8 @@ def sample_main(argv=None) -> None:
     strength = 0.75
     mask_path = None
     lora_path = None
+    concept_path = None
+    karras = False
     i = 1
     positional = [argv[0]]
 
@@ -123,6 +128,7 @@ def sample_main(argv=None) -> None:
             if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
                 _fail("Error: --sampler must be "
                       "ddim|dpmpp|euler|euler_a|heun")
+            # --karras validity is checked after the full argv parse
         elif a == "--negative":
             negative = flag_value(i); i += 2
         elif a == "--init-image":
@@ -133,6 +139,10 @@ def sample_main(argv=None) -> None:
             mask_path = flag_value(i); i += 2
         elif a == "--lora":
             lora_path = flag_value(i); i += 2
+        elif a == "--concept":
+            concept_path = flag_value(i); i += 2
+        elif a == "--karras":
+            karras = True; i += 1
         else:
             positional.append(a); i += 1
     argv = positional
@@ -154,6 +164,10 @@ def sample_main(argv=None) -> None:
     except ValueError:
         _fail("Error: Invalid number of diffusion steps.")
     prompt, output_name = argv[5], argv[6]
+    if karras and sampler not in ("dpmpp", "euler", "euler_a", "heun"):
+        _fail("Error: --karras needs --sampler dpmpp|euler|euler_a|heun")
+    if karras and init_image is not None:
+        _fail("Error: --karras is not supported with --init-image")
     _select_device(argv[7] if len(argv) == 8 else None)
 
     import jax
@@ -183,7 +197,23 @@ def sample_main(argv=None) -> None:
     print("Sampling image...")
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(seed) if seed is not None else None
-    if init_image is not None:
+    if concept_path is not None:
+        # textual-inversion concept (finetune --ti output): swap in a
+        # CLIP context built over the extended embedding table
+        if init_image is not None:
+            _fail("Error: --concept is not supported with --init-image")
+        from sdtpu.textual_inversion import generate_with_ti, load_ti
+
+        emb, placeholder, _meta = load_ti(concept_path)
+        if placeholder not in prompt:
+            print(f"Warning: prompt does not contain the concept "
+                  f"placeholder {placeholder!r}")
+        images = generate_with_ti(
+            sd, tokenizer, prompt, emb, guidance_scale, n_steps,
+            n_images=batch, key=key, sampler=sampler,
+            negative_prompt=negative, placeholder=placeholder,
+            karras_sigmas=karras)
+    elif init_image is not None:
         # img2img / inpaint: --init-image PATH [--strength F] [--mask PATH]
         from sdtpu.dataset import center_crop_resize, load_image_u8
 
@@ -207,7 +237,7 @@ def sample_main(argv=None) -> None:
     else:
         images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
                              n_images=batch, key=key, sampler=sampler,
-                             negative_prompt=negative)
+                             negative_prompt=negative, karras_sigmas=karras)
     dt = time.perf_counter() - t0
     with profiling.phase("save_png"):
         paths = save_images(images, output_name)
@@ -232,6 +262,11 @@ def finetune_main(argv=None) -> None:
     --lora-rank trains a LoRA adapter over the attention linears instead
     of the full UNet (sdtpu/lora.py); writes both the merged model and
     `<out_model>.lora.safetensors`.
+
+    --ti "<placeholder>" [--ti-vectors N] [--ti-init TOKEN] [--ti-lr F]
+    learns textual-inversion embedding rows instead of touching weights
+    (sdtpu/textual_inversion.py); writes `<out_model>.ti.safetensors`
+    for use with `sample --concept`.
     """
     argv = list(sys.argv if argv is None else argv)
 
@@ -239,7 +274,8 @@ def finetune_main(argv=None) -> None:
             "bf16": False, "remat": False, "opt": "adamw", "save_every": 0,
             "state_dir": None, "resume": False, "preset": "sd-v1-4",
             "seed": 0, "tp": 1, "device": None, "lora_rank": None,
-            "lora_alpha": None, "flip": False}
+            "lora_alpha": None, "flip": False, "ti": None, "ti_vectors": 1,
+            "ti_init": None, "ti_lr": None}
     i, positional = 1, [argv[0]]
 
     def flag_value(idx: int) -> str:
@@ -287,6 +323,14 @@ def finetune_main(argv=None) -> None:
             opts["lora_alpha"] = float(flag_value(i)); i += 2
         elif a == "--flip":
             opts["flip"] = True; i += 1
+        elif a == "--ti":
+            opts["ti"] = flag_value(i); i += 2
+        elif a == "--ti-vectors":
+            opts["ti_vectors"] = int(flag_value(i)); i += 2
+        elif a == "--ti-init":
+            opts["ti_init"] = flag_value(i); i += 2
+        elif a == "--ti-lr":
+            opts["ti_lr"] = float(flag_value(i)); i += 2
         else:
             positional.append(a); i += 1
 
@@ -309,6 +353,27 @@ def finetune_main(argv=None) -> None:
     print("Loading model...")
     with profiling.phase("load_model"):
         sd = load_model(model_type, model_name, opts["preset"])
+
+    if opts["ti"] is not None:
+        # textual inversion: learn embedding rows for a placeholder word
+        # instead of touching any model weights
+        from sdtpu.finetune import run_textual_inversion
+
+        print(f"Learning concept {opts['ti']!r} for {opts['steps']} steps "
+              f"(batch {opts['batch']}, {opts['ti_vectors']} vectors)...")
+        result = run_textual_inversion(
+            sd, tokenizer, data, out_model,
+            placeholder=opts["ti"], n_vectors=opts["ti_vectors"],
+            init_token=opts["ti_init"], steps=opts["steps"],
+            batch_size=opts["batch"],
+            lr=opts["ti_lr"] if opts["ti_lr"] is not None else 5e-3,
+            compute_dtype=jnp.bfloat16 if opts["bf16"] else jnp.float32,
+            remat=opts["remat"], seed=opts["seed"],
+        )
+        print(f"Done: final loss {result['final_loss']:.5f}, "
+              f"{result['steps_per_sec']:.2f} steps/sec, "
+              f"concept at {result['out_path']}")
+        return
 
     print(f"Fine-tuning for {opts['steps']} steps "
           f"(batch {opts['batch']}, accum {opts['accum']}, lr {opts['lr']})...")

@@ -58,6 +58,31 @@ def dpmpp_arrays(alphas_cumprod, n_train_steps: int, n_steps: int) -> DpmArrays:
     return DpmArrays(alpha_t, sigma_t, lam_t, alpha_n, sigma_n, lam_n, ts)
 
 
+def dpmpp_karras_arrays(alphas_cumprod, n_steps: int,
+                        rho: float = 7.0) -> DpmArrays:
+    """DPM-Solver++(2M) constants on the Karras sigma ladder instead of
+    the uniform timestep grid (diffusers `use_karras_sigmas=True`). The
+    VE ladder sigma implies abar = 1/(1+sigma^2); the final boundary
+    sigma=0 gives abar=1 (alpha=1, sigma_t=0) — exactly the x0 landing
+    the uniform grid approximates with alphas_cumprod[0]. Timesteps are
+    fractional f32 (see karras.karras_sigma_arrays)."""
+    from sdtpu.diffusion.karras import karras_sigma_arrays
+
+    arrs = karras_sigma_arrays(alphas_cumprod, n_steps, rho)
+
+    def split(sigma_ve):
+        a = 1.0 / (sigma_ve * sigma_ve + 1.0)
+        alpha = jnp.sqrt(a)
+        sigma = jnp.sqrt(1.0 - a)
+        lam = jnp.log(alpha / jnp.maximum(sigma, 1e-10))
+        return alpha, sigma, lam
+
+    alpha_t, sigma_t, lam_t = split(arrs.sigma)
+    alpha_n, sigma_n, lam_n = split(arrs.sigma_next)
+    return DpmArrays(alpha_t, sigma_t, lam_t, alpha_n, sigma_n, lam_n,
+                     arrs.timesteps)
+
+
 class DpmState(NamedTuple):
     x: jnp.ndarray
     x0_prev: jnp.ndarray
@@ -77,7 +102,11 @@ def dpmpp_2m_step(state: DpmState, eps, step) -> DpmState:
 
     h = lam_n - lam_t
     r = state.h_prev / h
-    use_second = state.h_prev != 0.0
+    # first-order on step 0 (no history) AND on a sigma_n == 0 landing
+    # (the Karras ladder's final boundary; k-diffusion sample_dpmpp_2m
+    # and diffusers lower_order_final both drop to first order there —
+    # the uniform grid never reaches sigma 0, so it is unaffected)
+    use_second = (state.h_prev != 0.0) & (sigma_n > 0.0)
     coef = 1.0 / (2.0 * jnp.where(use_second, r, 1.0))
     d = jnp.where(use_second, (1.0 + coef) * x0 - coef * state.x0_prev, x0)
 

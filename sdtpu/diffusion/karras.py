@@ -57,6 +57,40 @@ def karras_arrays(alphas_cumprod, n_train_steps: int,
     return KarrasArrays(ts, t_next, sigma, sigma_next)
 
 
+def karras_sigma_arrays(alphas_cumprod, n_steps: int,
+                        rho: float = 7.0) -> KarrasArrays:
+    """Karras et al. (2022) eq. 5 sigma spacing instead of the uniform
+    timestep grid: sigmas interpolate between the training table's
+    sigma_max (t = T-1) and sigma_min (t = 0) in sigma^(1/rho) space
+    (k-diffusion `get_sigmas_karras` / diffusers `use_karras_sigmas`).
+    This concentrates steps at low noise, where it matters most at small
+    n_steps.
+
+    The UNet is conditioned on t, not sigma, so each ladder sigma maps to
+    a FRACTIONAL timestep by piecewise-linear interpolation of the
+    log-sigma table (k-diffusion `sigma_to_t`, quantize=False); the
+    sinusoidal timestep embedding (ops/timestep.py) is continuous in t.
+    Returned `timesteps`/`t_next` are therefore f32, not i32."""
+    abar = jnp.asarray(alphas_cumprod, jnp.float32)
+    table = jnp.sqrt((1.0 - abar) / abar)  # ascending in t
+    sigma_min, sigma_max = table[0], table[-1]
+    ramp = jnp.linspace(0.0, 1.0, n_steps)
+    min_inv = sigma_min ** (1.0 / rho)
+    max_inv = sigma_max ** (1.0 / rho)
+    sigma = (max_inv + ramp * (min_inv - max_inv)) ** rho  # descending
+    sigma_next = jnp.concatenate([sigma[1:], jnp.zeros((1,), jnp.float32)])
+
+    log_table = jnp.log(table)
+    t_grid = jnp.arange(table.shape[0], dtype=jnp.float32)
+
+    def to_t(s):
+        # interp clamps at the ends: sigma 0 (the final boundary, never
+        # consumed by the UNet) maps to t = 0
+        return jnp.interp(jnp.log(jnp.maximum(s, 1e-20)), log_table, t_grid)
+
+    return KarrasArrays(to_t(sigma), to_t(sigma_next), sigma, sigma_next)
+
+
 def model_input(x, sigma):
     """VE state -> the VP latent the UNet was trained on."""
     return x / jnp.sqrt(sigma * sigma + 1.0)

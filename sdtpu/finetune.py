@@ -58,6 +58,99 @@ def resolve_cache(sd, tokenizer, data: str, batch: int = 8,
     return cache
 
 
+def run_textual_inversion(
+    sd,
+    tokenizer,
+    data_dir: str,
+    out_path: str,
+    *,
+    placeholder: str = "<sks>",
+    n_vectors: int = 1,
+    init_token: Optional[str] = None,
+    steps: int = 100,
+    batch_size: int = 4,
+    lr: float = 5e-3,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    seed: int = 0,
+    log_every: int = 10,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """Learn `n_vectors` new CLIP token-embedding rows for `placeholder`
+    from the images in `data_dir`; write an sdtpu-ti safetensors concept
+    (loadable with `sample --concept`). The base checkpoint is untouched
+    — the only trainable state is the [n_vectors, n_state] table rows
+    (sdtpu/textual_inversion.py), so no optimizer-state or remat pressure.
+
+    Returns {"steps", "final_loss", "losses", "out_path", "steps_per_sec"}.
+    """
+    import optax
+
+    from sdtpu.textual_inversion import (init_ti_embeddings,
+                                         make_ti_train_step,
+                                         prepare_ti_data, save_ti)
+
+    if data_dir.endswith(".npz"):
+        raise ValueError(
+            "textual inversion needs the raw image directory (captions are "
+            "re-tokenized with the placeholder), not a latent cache")
+    cfg: StableDiffusionConfig = sd.config
+    latents, tokens, valid = prepare_ti_data(
+        sd, tokenizer, data_dir, placeholder=placeholder,
+        n_vectors=n_vectors, batch=min(8, max(batch_size, 1)))
+    n = len(latents)
+    log(f"dataset: {n} examples, placeholder {placeholder!r} "
+        f"x{n_vectors} vectors")
+
+    init_id = None
+    if init_token is not None:
+        ids = tokenizer.encode(init_token)
+        if len(ids) != 1:
+            raise ValueError(
+                f"init token {init_token!r} must be a single BPE token "
+                f"(got {len(ids)})")
+        init_id = ids[0]
+    new_emb = init_ti_embeddings(jax.random.PRNGKey(seed + 1),
+                                 sd.params["clip"], n_vectors, init_id)
+
+    opt = optax.adam(lr)  # the standard TI recipe: plain Adam, high lr
+    opt_state = opt.init(new_emb)
+    on_tpu = jax.default_backend() != "cpu"
+    step_jit = jax.jit(
+        make_ti_train_step(cfg, opt, compute_dtype=compute_dtype,
+                           remat=remat),
+        donate_argnums=(0, 1) if on_tpu else ())
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    t_start = time.perf_counter()
+    for i in range(steps):
+        idx = rng.choice(n, size=batch_size, replace=n < batch_size)
+        batch = (jnp.asarray(latents[idx]), jnp.asarray(tokens[idx]),
+                 jnp.asarray(valid[idx]))
+        key, sub = jax.random.split(key)
+        new_emb, opt_state, loss = step_jit(new_emb, opt_state, sd.params,
+                                            batch, sub)
+        if log_every and (i % log_every == 0 or i + 1 == steps):
+            loss_f = float(loss)
+            losses.append((i, loss_f))
+            log(f"step {i + 1}/{steps} loss {loss_f:.5f}")
+    dt = time.perf_counter() - t_start
+
+    if not out_path.endswith(".safetensors"):
+        out_path = f"{out_path}.ti.safetensors"
+    save_ti(np.asarray(new_emb), out_path, placeholder, config_name=cfg.name)
+    log(f"concept saved to {out_path}")
+    return {
+        "steps": steps,
+        "final_loss": losses[-1][1] if losses else float("nan"),
+        "losses": losses,
+        "out_path": out_path,
+        "steps_per_sec": steps / dt if dt > 0 else float("inf"),
+    }
+
+
 def run_finetune(
     sd,
     tokenizer,

@@ -62,7 +62,8 @@ def _encode_impl(params, image, *, config):
 @functools.partial(
     jax.jit,
     static_argnames=("config", "compute_dtype", "n_train_steps", "n_steps",
-                     "parity_two_pass", "sampler", "skip_steps"),
+                     "parity_two_pass", "sampler", "skip_steps",
+                     "karras_sigmas"),
 )
 def _sample_latent_impl(
     params,
@@ -81,8 +82,17 @@ def _sample_latent_impl(
     parity_two_pass: bool,
     sampler: str = "ddim",
     skip_steps: int = 0,
+    karras_sigmas: bool = False,
 ):
     cfg = config
+    if karras_sigmas and sampler not in ("dpmpp", "euler", "euler_a", "heun"):
+        raise ValueError(
+            f"karras_sigmas is only defined for the sigma-ladder samplers "
+            f"(dpmpp|euler|euler_a|heun), not {sampler!r}")
+    if karras_sigmas and skip_steps:
+        raise ValueError(
+            "karras_sigmas does not support skip_steps (img2img noising "
+            "rides the uniform DDIM grid)")
     timesteps, step_size = ddim_schedule(n_train_steps, n_steps)
     timesteps = timesteps[skip_steps:]  # img2img: start mid-schedule
     alphas = params["alphas_cumprod"].astype(jnp.float32)
@@ -143,9 +153,11 @@ def _sample_latent_impl(
             dpmpp_2m_step,
             dpmpp_arrays,
             dpmpp_init,
+            dpmpp_karras_arrays,
         )
 
-        arrs = dpmpp_arrays(alphas, n_train_steps, n_steps)
+        arrs = (dpmpp_karras_arrays(alphas, n_steps) if karras_sigmas
+                else dpmpp_arrays(alphas, n_train_steps, n_steps))
         if skip_steps:
             arrs = type(arrs)(*(a[skip_steps:] for a in arrs))
 
@@ -166,11 +178,13 @@ def _sample_latent_impl(
             euler_step,
             heun_step,
             karras_arrays,
+            karras_sigma_arrays,
             model_input,
             vp_alpha,
         )
 
-        arrs = karras_arrays(alphas, n_train_steps, n_steps)
+        arrs = (karras_sigma_arrays(alphas, n_steps) if karras_sigmas
+                else karras_arrays(alphas, n_train_steps, n_steps))
         if skip_steps:
             arrs = type(arrs)(*(a[skip_steps:] for a in arrs))
         # VP N(0,1) init latent -> VE domain (x0 comes out unscaled)
@@ -338,8 +352,13 @@ class StableDiffusion:
         uncond_valid=None,
         sampler: str = "ddim",
         skip_steps: int = 0,
+        karras_sigmas: bool = False,
     ):
-        """mod.rs:102-160, fully on-device. context: [B, S, D]."""
+        """mod.rs:102-160, fully on-device. context: [B, S, D].
+
+        karras_sigmas: Karras et al. (2022) sigma spacing for the
+        sigma-ladder samplers (dpmpp/euler/euler_a/heun) — see
+        diffusion/karras.py:karras_sigma_arrays."""
         b = context.shape[0]
         hw = self.config.latent_size
         noise_key = None
@@ -365,6 +384,7 @@ class StableDiffusion:
             parity_two_pass=not self.pad_context,
             sampler=sampler,
             skip_steps=skip_steps,
+            karras_sigmas=karras_sigmas,
         )
 
     # ---------------------------------------------------------- decode
@@ -418,6 +438,7 @@ class StableDiffusion:
         initial_latent=None,
         sampler: str = "ddim",
         negative_prompt: str = "",
+        karras_sigmas: bool = False,
     ) -> np.ndarray:
         """Convenience wrapper: prompt string -> uint8 images.
 
@@ -442,6 +463,7 @@ class StableDiffusion:
                 sampler=sampler,
                 ctx_valid=valid if self.pad_context else None,
                 uncond_valid=unvalid if self.pad_context else None,
+                karras_sigmas=karras_sigmas,
             )
         with phase("decode"):
             return self.latent_to_image(latent)

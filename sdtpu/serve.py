@@ -84,14 +84,14 @@ class Batcher:
         self.thread.start()
 
     def submit(self, prompt, steps, scale, seed, n_images, negative,
-               sampler: str = "ddim"):
+               sampler: str = "ddim", karras: bool = False):
         if self.queue.qsize() + len(self._held) >= self.max_queue:
             raise Overloaded(
                 f"queue full ({self.max_queue} requests waiting)")
         ev = threading.Event()
         slot = {"abandoned": False}
         self.queue.put((prompt, steps, scale, seed, n_images, negative,
-                        sampler, ev, slot))
+                        sampler, karras, ev, slot))
         if not ev.wait(self.timeout_s):
             slot["abandoned"] = True  # worker will skip/discard the result
             raise RequestTimeout(f"no capacity within {self.timeout_s:.0f}s")
@@ -109,7 +109,8 @@ class Batcher:
         if not items:
             items.append(self.queue.get())
         deadline = time.monotonic() + self.window_s
-        key = (items[0][1], items[0][6])  # batch key: (n_steps, sampler)
+        # batch key: (n_steps, sampler, karras) — all jit statics
+        key = (items[0][1], items[0][6], items[0][7])
         total = sum(it[4] for it in items)
         while total < self.max_batch:
             timeout = deadline - time.monotonic()
@@ -119,7 +120,7 @@ class Batcher:
                 it = self.queue.get(timeout=timeout)
             except queue.Empty:
                 break
-            if (it[1], it[6]) == key and total + it[4] <= self.max_batch:
+            if (it[1], it[6], it[7]) == key and total + it[4] <= self.max_batch:
                 items.append(it)
                 total += it[4]
             else:
@@ -146,10 +147,11 @@ class Batcher:
 
     def _run_batch(self, items, jax, jnp, np):
         sd, tok = self.sd, self.tokenizer
-        steps, sampler = items[0][1], items[0][6]
+        steps, sampler, karras = items[0][1], items[0][6], items[0][7]
         ctxs, valids, unctxs, unvalids, scales, latents = [], [], [], [], [], []
         counts = []
-        for prompt, _steps, scale, seed, n_images, negative, _sampler, _ev, _slot in items:
+        for (prompt, _steps, scale, seed, n_images, negative, _sampler,
+             _karras, _ev, _slot) in items:
             ctx, valid = sd.context(tok, prompt)
             unctx, unvalid = sd.context(tok, negative)
             key = jax.random.PRNGKey(seed if seed is not None
@@ -183,6 +185,7 @@ class Batcher:
             ctx_valid=jnp.stack(valids) if sd.pad_context else None,
             uncond_valid=jnp.stack(unvalids) if sd.pad_context else None,
             sampler=sampler,
+            karras_sigmas=karras,
         )
 
         # hand the (still-on-device) batch to the completer; the worker
@@ -207,14 +210,15 @@ class Batcher:
                     ev.set()
 
 
-def _generate(prompt, steps, scale, seed, batch, negative, sampler="ddim"):
+def _generate(prompt, steps, scale, seed, batch, negative, sampler="ddim",
+              karras=False):
     import numpy as np
 
     from sdtpu.utils.image import encode_png_rgb8
 
     t0 = time.perf_counter()
     imgs = STATE.batcher.submit(prompt, steps, scale, seed, batch, negative,
-                                sampler)
+                                sampler, karras)
     dt = time.perf_counter() - t0
     pngs = [base64.b64encode(encode_png_rgb8(np.asarray(im))).decode()
             for im in imgs]
@@ -309,6 +313,12 @@ class Handler(BaseHTTPRequestHandler):
             if sampler not in ("ddim", "dpmpp", "euler", "euler_a", "heun"):
                 raise ValueError(
                     "sampler must be ddim|dpmpp|euler|euler_a|heun")
+            karras = bool(req.get("karras", False))
+            if karras and sampler == "ddim":
+                raise ValueError(
+                    "karras needs sampler dpmpp|euler|euler_a|heun")
+            if karras and self.path != "/generate":
+                raise ValueError("karras is txt2img-only")
             mask = None
             if self.path in ("/img2img", "/inpaint"):
                 init_image = req["init_image"]  # base64 PNG
@@ -328,7 +338,7 @@ class Handler(BaseHTTPRequestHandler):
                                          negative, sampler, mask_b64=mask))
             else:
                 self._send(200, _generate(prompt, steps, scale, seed,
-                                          batch, negative, sampler))
+                                          batch, negative, sampler, karras))
         except Overloaded as e:
             self._send(503, {"error": str(e)})
         except RequestTimeout as e:

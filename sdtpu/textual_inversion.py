@@ -93,7 +93,8 @@ def generate_with_ti(sd, tokenizer, prompt: str, new_embeddings,
                      guidance_scale: float = 7.5, n_steps: int = 20,
                      n_images: int = 1, key=None, sampler: str = "ddim",
                      negative_prompt: str = "",
-                     placeholder: str = DEFAULT_PLACEHOLDER) -> np.ndarray:
+                     placeholder: str = DEFAULT_PLACEHOLDER,
+                     karras_sigmas: bool = False) -> np.ndarray:
     """prompt-with-placeholder -> uint8 images (pipeline.generate with
     the TI context swapped in)."""
     ctx, valid = ti_context(sd, tokenizer, prompt, new_embeddings,
@@ -105,7 +106,8 @@ def generate_with_ti(sd, tokenizer, prompt: str, new_embeddings,
     latent = sd.sample_latent(
         ctx, unctx, guidance_scale, n_steps, key=key, sampler=sampler,
         ctx_valid=valid if sd.pad_context else None,
-        uncond_valid=unvalid if sd.pad_context else None)
+        uncond_valid=unvalid if sd.pad_context else None,
+        karras_sigmas=karras_sigmas)
     return sd.latent_to_image(latent)
 
 

@@ -9,7 +9,8 @@ from sdtpu.cli import finetune_main, sample_main
 
 @pytest.mark.parametrize("flag", ["--sampler", "--seed", "--batch",
                                   "--preset", "--negative", "--init-image",
-                                  "--strength", "--mask", "--lora"])
+                                  "--strength", "--mask", "--lora",
+                                  "--concept"])
 def test_value_flag_at_end_gives_usage_error(flag, capsys):
     with pytest.raises(SystemExit) as e:
         sample_main(["sample", "dump", "model", "7.5", "20", "p", "out", flag])
@@ -17,7 +18,9 @@ def test_value_flag_at_end_gives_usage_error(flag, capsys):
     assert f"{flag} requires a value" in capsys.readouterr().err
 
 
-@pytest.mark.parametrize("flag", ["--steps", "--lr", "--state-dir", "--opt"])
+@pytest.mark.parametrize("flag", ["--steps", "--lr", "--state-dir", "--opt",
+                                  "--ti", "--ti-vectors", "--ti-init",
+                                  "--ti-lr"])
 def test_finetune_value_flag_at_end_gives_usage_error(flag, capsys):
     with pytest.raises(SystemExit) as e:
         finetune_main(["finetune", "native", "m", "data", "out", flag])
@@ -45,6 +48,24 @@ def test_bad_sampler_value(capsys):
                      "7.5", "20", "p", "out"])
     assert e.value.code == 1
     assert "--sampler must be" in capsys.readouterr().err
+
+
+def test_karras_requires_sigma_ladder_sampler(capsys):
+    with pytest.raises(SystemExit) as e:
+        sample_main(["sample", "--karras", "dump", "model",
+                     "7.5", "20", "p", "out"])
+    assert e.value.code == 1
+    assert "--karras needs --sampler" in capsys.readouterr().err
+
+
+def test_karras_rejects_img2img(capsys):
+    with pytest.raises(SystemExit) as e:
+        sample_main(["sample", "--karras", "--sampler", "euler",
+                     "--init-image", "x.png", "dump", "model",
+                     "7.5", "20", "p", "out"])
+    assert e.value.code == 1
+    assert "--karras is not supported with --init-image" \
+        in capsys.readouterr().err
 
 
 def test_wrong_positional_count(capsys):

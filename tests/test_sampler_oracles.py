@@ -69,8 +69,11 @@ def setup():
         return e_un + (e_c - e_un) * GS
 
     def eps_np(x, t):
+        # f32 t: identical for integer grids (the embedding is computed
+        # in f32 either way) and accepts the Karras ladder's fractional
+        # timesteps
         return np.asarray(
-            eps_fn(jnp.asarray(x, jnp.float32), jnp.asarray(int(t), jnp.int32)),
+            eps_fn(jnp.asarray(x, jnp.float32), jnp.asarray(float(t), jnp.float32)),
             np.float64)
 
     abar = np.asarray(params["alphas_cumprod"], np.float64)
@@ -286,3 +289,152 @@ def test_dpmpp_matches_diffusers(setup):
         np.asarray(latent0, np.float64), ts, step, abar, eps_np)
     got = _run_pipeline(sd, ctx, unctx, latent0, "dpmpp")
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------- Karras sigma-spacing oracles
+
+def _kd_karras_ladder(abar, n, rho=7.0):
+    """k-diffusion sampling.get_sigmas_karras with sigma_min/sigma_max
+    from the model's full sigma table ends (external.DiscreteSchedule
+    sigma_min/sigma_max) + append_zero."""
+    table = np.sqrt((1.0 - abar) / abar)
+    smin, smax = table[0], table[-1]
+    ramp = np.linspace(0.0, 1.0, n)
+    sigmas = (smax ** (1 / rho)
+              + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+    return np.concatenate([sigmas, [0.0]])
+
+
+def _kd_sigma_to_t(abar, sigma):
+    """k-diffusion external.DiscreteSchedule.sigma_to_t (quantize=False):
+    piecewise-linear interpolation in log-sigma, in the cumsum-argmax
+    index form (different algebra from sdtpu's jnp.interp)."""
+    log_sigmas = np.log(np.sqrt((1.0 - abar) / abar))
+    log_sigma = np.log(sigma)
+    dists = log_sigma - log_sigmas
+    low_idx = int(np.clip((dists >= 0).cumsum().argmax(),
+                          0, len(log_sigmas) - 2))
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = float(np.clip((low - log_sigma) / (low - high), 0.0, 1.0))
+    return (1.0 - w) * low_idx + w * high_idx
+
+
+def _karras_grid(abar):
+    sigmas = _kd_karras_ladder(abar, N_STEPS)
+    ts = [_kd_sigma_to_t(abar, s) for s in sigmas[:-1]]
+    return ts, sigmas
+
+
+def test_karras_ladder_matches_k_diffusion(setup):
+    """karras_sigma_arrays (ladder + fractional-t mapping) against the
+    independent transcriptions above."""
+    from sdtpu.diffusion.karras import karras_sigma_arrays
+
+    _, _, _, _, _, abar = setup
+    arrs = karras_sigma_arrays(jnp.asarray(abar, jnp.float32), N_STEPS)
+    want = _kd_karras_ladder(abar, N_STEPS)
+    np.testing.assert_allclose(np.asarray(arrs.sigma), want[:-1], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(arrs.sigma_next), want[1:],
+                               rtol=1e-5, atol=1e-7)
+    want_t = [_kd_sigma_to_t(abar, s) for s in want[:-1]]
+    np.testing.assert_allclose(np.asarray(arrs.timesteps), want_t,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_euler_karras_matches_k_diffusion(setup):
+    sd, ctx, unctx, latent0, eps_np, abar = setup
+    ts, sigmas = _karras_grid(abar)
+    x0 = np.asarray(latent0, np.float64) * np.sqrt(sigmas[0] ** 2 + 1.0)
+    want = kd_sample_euler(x0, ts, sigmas, eps_np)[-1]
+    got = np.asarray(sd.sample_latent(
+        ctx, unctx, GS, N_STEPS, initial_latent=latent0, sampler="euler",
+        karras_sigmas=True), np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_heun_karras_matches_k_diffusion(setup):
+    sd, ctx, unctx, latent0, eps_np, abar = setup
+    ts, sigmas = _karras_grid(abar)
+    x0 = np.asarray(latent0, np.float64) * np.sqrt(sigmas[0] ** 2 + 1.0)
+    want = kd_sample_heun(x0, ts, sigmas, eps_np)
+    got = np.asarray(sd.sample_latent(
+        ctx, unctx, GS, N_STEPS, initial_latent=latent0, sampler="heun",
+        karras_sigmas=True), np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_euler_ancestral_karras_matches_k_diffusion(setup):
+    sd, ctx, unctx, latent0, eps_np, abar = setup
+    ts, sigmas = _karras_grid(abar)
+
+    key = jax.random.PRNGKey(99)
+    _, noise_key = jax.random.split(key)
+    noises = []
+    k = noise_key
+    for _ in range(N_STEPS):
+        k, ks = jax.random.split(k)
+        noises.append(np.asarray(
+            jax.random.normal(ks, latent0.shape, jnp.float32), np.float64))
+
+    x0 = np.asarray(latent0, np.float64) * np.sqrt(sigmas[0] ** 2 + 1.0)
+    want = kd_sample_euler_ancestral(x0, ts, sigmas, eps_np, noises)[-1]
+    got = np.asarray(sd.sample_latent(
+        ctx, unctx, GS, N_STEPS, initial_latent=latent0, sampler="euler_a",
+        key=key, karras_sigmas=True), np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def diffusers_dpmpp_2m_karras(x, abar, eps_np, n):
+    """DPMSolverMultistepScheduler with use_karras_sigmas=True: alpha/
+    sigma derived from the ladder sigma (_sigma_to_alpha_sigma_t:
+    alpha = (1+s^2)^-0.5, sigma = s*alpha), fractional-t conditioning,
+    and lower_order_final's first-order drop on the final sigma=0 step
+    (k-diffusion sample_dpmpp_2m does the same)."""
+    ts, sigmas = _karras_grid(abar)
+
+    def split(s_ve):
+        alpha = 1.0 / np.sqrt(s_ve * s_ve + 1.0)
+        sigma = s_ve * alpha
+        lam = np.log(alpha) - np.log(np.maximum(sigma, 1e-10))
+        return alpha, sigma, lam
+
+    m_prev = None
+    lam_prev = None
+    for i in range(n):
+        a_s0, s_s0, l_s0 = split(sigmas[i])
+        a_t, s_t, l_t = split(sigmas[i + 1])
+        eps = eps_np(x, ts[i])
+        m0 = (x - s_s0 * eps) / a_s0
+        h = l_t - l_s0
+        if m_prev is None or sigmas[i + 1] == 0.0:
+            x = (s_t / s_s0) * x - a_t * (np.exp(-h) - 1.0) * m0
+        else:
+            h_0 = l_s0 - lam_prev
+            r0 = h_0 / h
+            D0, D1 = m0, (1.0 / r0) * (m0 - m_prev)
+            x = ((s_t / s_s0) * x
+                 - a_t * (np.exp(-h) - 1.0) * D0
+                 - 0.5 * a_t * (np.exp(-h) - 1.0) * D1)
+        m_prev, lam_prev = m0, l_s0
+    return x
+
+
+def test_dpmpp_karras_matches_diffusers(setup):
+    sd, ctx, unctx, latent0, eps_np, abar = setup
+    want = diffusers_dpmpp_2m_karras(
+        np.asarray(latent0, np.float64), abar, eps_np, N_STEPS)
+    got = np.asarray(sd.sample_latent(
+        ctx, unctx, GS, N_STEPS, initial_latent=latent0, sampler="dpmpp",
+        karras_sigmas=True), np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_karras_sigmas_rejects_bad_combos(setup):
+    sd, ctx, unctx, latent0, _, _ = setup
+    with pytest.raises(ValueError, match="sigma-ladder"):
+        sd.sample_latent(ctx, unctx, GS, N_STEPS, initial_latent=latent0,
+                         sampler="ddim", karras_sigmas=True)
+    with pytest.raises(ValueError, match="skip_steps"):
+        sd.sample_latent(ctx, unctx, GS, N_STEPS, initial_latent=latent0,
+                         sampler="euler", karras_sigmas=True, skip_steps=1)

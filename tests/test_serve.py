@@ -171,6 +171,26 @@ def test_mixed_sampler_concurrency(server_port):
     assert results["ddim"][1]["images"][0] != results["dpmpp"][1]["images"][0]
 
 
+def test_karras_option(server_port):
+    """karras sigma spacing over the wire: accepted on a sigma-ladder
+    sampler, changes the result vs the uniform grid, rejected on ddim
+    and on the image endpoints."""
+    base = {"prompt": "a stone", "steps": 2, "seed": 3, "sampler": "euler"}
+    code, resp = _post(server_port, {**base, "karras": True})
+    assert code == 200, resp
+    code2, resp2 = _post(server_port, base)
+    assert code2 == 200
+    assert resp["images"][0] != resp2["images"][0]
+
+    code, resp = _post(server_port, {"prompt": "a", "karras": True})
+    assert code == 400 and "karras" in resp["error"]
+    code, resp = _post(server_port, {"prompt": "a", "sampler": "euler",
+                                     "karras": True,
+                                     "init_image": "x", "strength": 0.5},
+                       path="/img2img")
+    assert code == 400 and "txt2img" in resp["error"]
+
+
 def test_bad_sampler_rejected(server_port):
     code, resp = _post(server_port, {"prompt": "a", "sampler": "plms"})
     assert code == 400

@@ -3,6 +3,8 @@ init-from-token equality oracle (a placeholder initialized from token T
 must produce EXACTLY the context of the prompt with T's text), training
 (only the new rows move), data prep, io round-trip, and generation."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,6 +142,78 @@ def test_ti_io_roundtrip(tmp_path):
     save_file({"y": np.zeros(2, np.float32)}, other)
     with pytest.raises(ValueError, match="textual-inversion"):
         load_ti(other)
+
+
+def _write_ti_dataset(tmp_path, n=3):
+    from sdtpu.utils.image import save_png
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "data"
+    d.mkdir()
+    for i in range(n):
+        save_png(rng.integers(0, 256, (40, 40, 3), np.uint8),
+                 str(d / f"img{i}.png"))
+        if i < n - 1:  # last: no caption -> default placeholder template
+            (d / f"img{i}.txt").write_text(f"a photo of <sks> number {i}")
+    return str(d)
+
+
+def test_run_textual_inversion(tmp_path, sd, tok):
+    from sdtpu.finetune import run_textual_inversion
+
+    data_dir = _write_ti_dataset(tmp_path)
+    logs = []
+    with pytest.raises(ValueError, match="latent cache"):
+        run_textual_inversion(sd, tok, "cache.npz", str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="single BPE token"):
+        run_textual_inversion(sd, tok, data_dir, str(tmp_path / "c"),
+                              init_token="not one token")
+    r = run_textual_inversion(
+        sd, tok, data_dir, str(tmp_path / "concept"), n_vectors=2,
+        steps=3, batch_size=2, lr=1e-2, seed=0, log_every=1,
+        log=logs.append)
+    assert r["out_path"].endswith(".ti.safetensors")
+    assert np.isfinite(r["final_loss"])
+    emb, ph, meta = load_ti(r["out_path"])
+    assert emb.shape == (2, TINY.clip.n_state) and ph == "<sks>"
+    assert meta["config"] == TINY.name
+    assert any("loss" in line for line in logs)
+
+
+def test_ti_cli_roundtrip(tmp_path, capsys):
+    """finetune --ti -> sample --concept, over real CLI surfaces."""
+    from sdtpu.cli import finetune_main, sample_main
+    from sdtpu.io.native import save_native
+
+    model_path = str(tmp_path / "base.safetensors")
+    save_native(tiny_params(), model_path, TINY)
+    data_dir = _write_ti_dataset(tmp_path, n=2)
+    out = str(tmp_path / "concept")
+    finetune_main([
+        "finetune", "native", model_path, data_dir, out,
+        "--ti", "<sks>", "--ti-vectors", "1", "--ti-init", "photo",
+        "--steps", "2", "--batch", "2",
+    ])
+    captured = capsys.readouterr()
+    assert "concept at" in captured.out
+    concept = out + ".ti.safetensors"
+    assert os.path.exists(concept)
+
+    out_img = str(tmp_path / "img")
+    sample_main([
+        "sample", "native", model_path, "5.0", "2",
+        "a photo of <sks>", out_img,
+        "--concept", concept, "--seed", "0",
+    ])
+    assert os.path.exists(out_img + "0.png")
+    # prompt without the placeholder: warned, not fatal
+    sample_main([
+        "sample", "native", model_path, "5.0", "1",
+        "a plain photo", str(tmp_path / "img2"),
+        "--concept", concept, "--seed", "0",
+    ])
+    captured = capsys.readouterr()
+    assert "Warning: prompt does not contain" in captured.out
 
 
 def test_generate_with_ti(sd, tok):
