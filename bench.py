@@ -91,22 +91,28 @@ def main():
                   else dtype)
     t0 = time.perf_counter()
 
-    # one jitted init = ONE (cacheable) remote compile instead of ~75
-    # per-shape jax.random compiles — measured ~80s of init_s on the
-    # tunneled TPU (BENCHLOG r3 cold-compile attribution)
-    @jax.jit
-    def _build(key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        return {
-            "clip": init_clip(k1, cfg.clip, dtype=init_dtype),
-            "unet": init_unet(k2, cfg.unet, dtype=init_dtype),
-            "autoencoder": init_autoencoder(k3, cfg.vae, dtype=init_dtype),
-            "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
-        }
+    # Spec-mode init (models/rng.SpecKey + device_expand): the tree is
+    # materialised ON the device from a small uploaded entropy pool by
+    # one trivially-codegen'd XLA program. Measured ~3-7s in every
+    # server/cache state — the alternatives lose: uploading a host-built
+    # tree floors at ~40s (tunnel: 54MB/s), and the r03 one-jit
+    # on-device random init paid full server codegen on a cold server
+    # (BENCH_r03 init_s 138s). See rng.py docstring / BENCHLOG r4.
+    from sdtpu.models import rng as _rng
 
-    params = _build(jax.random.PRNGKey(0))
+    k1, k2, k3 = _rng.split(_rng.spec_key(0), 3)
+    spec_tree = {
+        "clip": init_clip(k1, cfg.clip, dtype=init_dtype),
+        "unet": init_unet(k2, cfg.unet, dtype=init_dtype),
+        "autoencoder": init_autoencoder(k3, cfg.vae, dtype=init_dtype),
+        "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
+    }
+    params = _rng.device_expand(spec_tree, _rng.spec_key(0))
     params["n_steps"] = 1000
-    jax.block_until_ready(params["unet"])
+    # force the expansion (and pool upload) to actually finish: on the
+    # tunneled TPU block_until_ready returns before deferred transfers
+    # flush, a scalar USE does not (CLAUDE.md)
+    np.asarray(jnp.sum(params["unet"]["conv_out"]["b"].astype(jnp.float32)))
     init_s = time.perf_counter() - t0
 
     mesh = None
@@ -215,7 +221,7 @@ def main():
         "init_s": round(init_s, 2),
         "n_devices": n_dev,
         "device": str(jax.devices()[0]),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

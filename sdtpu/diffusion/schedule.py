@@ -11,6 +11,7 @@ in sd-v1-4.ckpt's alphas_cumprod), so the framework can run standalone.
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def offset_cosine_schedule_cumprod(n_steps: int, dtype=jnp.float32):
@@ -20,9 +21,11 @@ def offset_cosine_schedule_cumprod(n_steps: int, dtype=jnp.float32):
     max_signal_rate = 0.95
     start_angle = math.acos(max_signal_rate)
     end_angle = math.acos(min_signal_rate)
-    times = jnp.arange(1, n_steps + 1, dtype=jnp.float32)
+    times = np.arange(1, n_steps + 1, dtype=np.float32)
     angles = times * ((end_angle - start_angle) / n_steps) + start_angle
-    return (jnp.cos(angles) ** 2).astype(dtype)
+    # numpy, not jnp: schedules are host constants — a bare jnp call
+    # outside jit is a (remote) XLA compile for 1000 floats
+    return (np.cos(angles) ** 2).astype(np.dtype(dtype))
 
 
 def scaled_linear_alphas_cumprod(
@@ -34,5 +37,5 @@ def scaled_linear_alphas_cumprod(
     """The LDM 'scaled linear' schedule: betas = linspace(sqrt(b0),
     sqrt(b1), N)^2 — reproduces the alphas_cumprod table shipped inside
     sd-v1-x checkpoints."""
-    betas = jnp.linspace(beta_start ** 0.5, beta_end ** 0.5, n_steps, dtype=jnp.float32) ** 2
-    return jnp.cumprod(1.0 - betas).astype(dtype)
+    betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5, n_steps, dtype=np.float32) ** 2
+    return np.cumprod(1.0 - betas).astype(np.dtype(dtype))

@@ -14,17 +14,19 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sdtpu.config import CLIPConfig
+from sdtpu.models import rng
 from sdtpu.models.initializers import init_embedding, init_linear, init_norm
 from sdtpu.ops import causal_mask, layer_norm, linear, qkv_attention, quick_gelu, gelu
 
 
 def init_clip(key, cfg: CLIPConfig, dtype=jnp.float32):
-    keys = jax.random.split(key, cfg.n_layer + 2)
+    keys = rng.split(key, cfg.n_layer + 2)
     blocks = []
     for i in range(cfg.n_layer):
-        ka, k1, k2, k3, k4, km1, km2 = jax.random.split(keys[i], 7)
+        ka, k1, k2, k3, k4, km1, km2 = rng.split(keys[i], 7)
         blocks.append(
             {
                 "attn": {
@@ -43,10 +45,8 @@ def init_clip(key, cfg: CLIPConfig, dtype=jnp.float32):
         )
     return {
         "token_embedding": init_embedding(keys[-2], cfg.n_vocab, cfg.n_state, dtype),
-        "position_embedding": jax.random.normal(
-            keys[-1], (cfg.n_ctx, cfg.n_state), dtype
-        )
-        * 0.01,
+        "position_embedding": rng.normal(
+            keys[-1], (cfg.n_ctx, cfg.n_state), dtype, scale=0.01),
         "blocks": blocks,
         "layer_norm": init_norm(cfg.n_state, dtype),
     }

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from sdtpu.config import UNetConfig
+from sdtpu.models import rng
 from sdtpu.models.initializers import init_conv2d, init_linear, init_norm
 from sdtpu.ops import (
     conv2d,
@@ -116,7 +117,7 @@ def build_output_specs(cfg: UNetConfig) -> Tuple[List[BlockSpec], List[int]]:
 # ------------------------------------------------------------ init
 
 def _init_res_block(key, c_in, c_embed, c_out, dtype):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4 = rng.split(key, 4)
     p = {
         "norm_in": init_norm(c_in, dtype),
         "conv_in": init_conv2d(k1, c_in, c_out, 3, dtype=dtype),
@@ -130,7 +131,7 @@ def _init_res_block(key, c_in, c_embed, c_out, dtype):
 
 
 def _init_cross_attn(key, n_state, n_ctx_state, dtype):
-    kq, kk, kv, ko = jax.random.split(key, 4)
+    kq, kk, kv, ko = rng.split(key, 4)
     return {
         "query": init_linear(kq, n_state, n_state, bias=False, dtype=dtype),
         "key": init_linear(kk, n_ctx_state, n_state, bias=False, dtype=dtype),
@@ -140,7 +141,7 @@ def _init_cross_attn(key, n_state, n_ctx_state, dtype):
 
 
 def _init_transformer(key, ch, ctx_dim, dtype):
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    k1, k2, k3, k4, k5, k6 = rng.split(key, 6)
     return {
         "norm": init_norm(ch, dtype),
         "proj_in": init_conv2d(k1, ch, ch, 1, dtype=dtype),
@@ -164,7 +165,7 @@ def _init_block(key, spec: BlockSpec, cfg: UNetConfig, dtype):
         return init_conv2d(key, spec.c_in, spec.c_out, 3, dtype=dtype)
     if spec.kind == "down":
         return init_conv2d(key, spec.c_in, spec.c_out, 3, dtype=dtype)
-    kr, kt, ku = jax.random.split(key, 3)
+    kr, kt, ku = rng.split(key, 3)
     p = {}
     res = _init_res_block(kr, spec.c_in, cfg.time_embed_dim, spec.c_out, dtype)
     if spec.transformer or spec.upsample:
@@ -181,7 +182,7 @@ def _init_block(key, spec: BlockSpec, cfg: UNetConfig, dtype):
 def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
     in_specs = build_input_specs(cfg)
     out_specs, _ = build_output_specs(cfg)
-    keys = jax.random.split(key, len(in_specs) + len(out_specs) + 8)
+    keys = rng.split(key, len(in_specs) + len(out_specs) + 8)
     ki = iter(keys)
 
     input_blocks = {s.name: _init_block(next(ki), s, cfg, dtype) for s in in_specs}

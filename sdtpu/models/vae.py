@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from sdtpu.config import AutoencoderConfig
+from sdtpu.models import rng
 from sdtpu.models.initializers import init_conv2d, init_norm
 from sdtpu.ops import conv2d, group_norm, qkv_attention, silu
 from sdtpu.ops.groupnorm import group_norm_silu_op
@@ -27,7 +28,7 @@ from sdtpu.ops.conv import upsample2x_conv
 # ---------------------------------------------------------------- init
 
 def _init_resnet(key, n_in, n_out, dtype):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3 = rng.split(key, 3)
     p = {
         "norm1": init_norm(n_in, dtype),
         "conv1": init_conv2d(k1, n_in, n_out, 3, dtype=dtype),
@@ -40,7 +41,7 @@ def _init_resnet(key, n_in, n_out, dtype):
 
 
 def _init_attn(key, ch, dtype):
-    kq, kk, kv, ko = jax.random.split(key, 4)
+    kq, kk, kv, ko = rng.split(key, 4)
     return {
         "norm": init_norm(ch, dtype),
         "q": init_conv2d(kq, ch, ch, 1, dtype=dtype),
@@ -51,7 +52,7 @@ def _init_attn(key, ch, dtype):
 
 
 def _init_mid(key, ch, dtype):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3 = rng.split(key, 3)
     return {
         "block_1": _init_resnet(k1, ch, ch, dtype),
         "attn": _init_attn(k2, ch, dtype),
@@ -60,13 +61,13 @@ def _init_mid(key, ch, dtype):
 
 
 def init_autoencoder(key, cfg: AutoencoderConfig, dtype=jnp.float32):
-    ke, kd, kq, kp = jax.random.split(key, 4)
+    ke, kd, kq, kp = rng.split(key, 4)
 
     # encoder
     enc_blocks = []
-    keys = jax.random.split(ke, len(cfg.encoder_channels) + 4)
+    keys = rng.split(ke, len(cfg.encoder_channels) + 4)
     for i, (cin, cout) in enumerate(cfg.encoder_channels):
-        kb1, kb2, kds = jax.random.split(keys[i], 3)
+        kb1, kb2, kds = rng.split(keys[i], 3)
         blk = {
             "res1": _init_resnet(kb1, cin, cout, dtype),
             "res2": _init_resnet(kb2, cout, cout, dtype),
@@ -87,9 +88,9 @@ def init_autoencoder(key, cfg: AutoencoderConfig, dtype=jnp.float32):
 
     # decoder
     dec_blocks = []
-    keys = jax.random.split(kd, len(cfg.decoder_channels) + 4)
+    keys = rng.split(kd, len(cfg.decoder_channels) + 4)
     for i, (cin, cout) in enumerate(cfg.decoder_channels):
-        kb1, kb2, kb3, kus = jax.random.split(keys[i], 4)
+        kb1, kb2, kb3, kus = rng.split(keys[i], 4)
         blk = {
             "res1": _init_resnet(kb1, cin, cout, dtype),
             "res2": _init_resnet(kb2, cout, cout, dtype),
