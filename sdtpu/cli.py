@@ -166,8 +166,9 @@ def sample_main(argv=None) -> None:
     prompt, output_name = argv[5], argv[6]
     if karras and sampler not in ("dpmpp", "euler", "euler_a", "heun"):
         _fail("Error: --karras needs --sampler dpmpp|euler|euler_a|heun")
-    if karras and init_image is not None:
-        _fail("Error: --karras is not supported with --init-image")
+    if concept_path is not None and init_image is not None:
+        # fail in milliseconds, before tokenizer/model load (ADVICE r3)
+        _fail("Error: --concept is not supported with --init-image")
     _select_device(argv[7] if len(argv) == 8 else None)
 
     import jax
@@ -200,8 +201,7 @@ def sample_main(argv=None) -> None:
     if concept_path is not None:
         # textual-inversion concept (finetune --ti output): swap in a
         # CLIP context built over the extended embedding table
-        if init_image is not None:
-            _fail("Error: --concept is not supported with --init-image")
+        # (--concept + --init-image already rejected pre-load)
         from sdtpu.textual_inversion import generate_with_ti, load_ti
 
         emb, placeholder, _meta = load_ti(concept_path)
@@ -229,11 +229,13 @@ def sample_main(argv=None) -> None:
                             ).astype(np.float32)[None], (batch, 1, 1))
             images = sd.inpaint(tokenizer, prompt, x, mask,
                                 guidance_scale, n_steps, key=key,
+                                sampler=sampler, karras_sigmas=karras,
                                 negative_prompt=negative)
         else:
             images = sd.img2img(tokenizer, prompt, x, strength,
                                 guidance_scale, n_steps, key=key,
-                                sampler=sampler, negative_prompt=negative)
+                                sampler=sampler, karras_sigmas=karras,
+                                negative_prompt=negative)
     else:
         images = sd.generate(tokenizer, prompt, guidance_scale, n_steps,
                              n_images=batch, key=key, sampler=sampler,

@@ -58,13 +58,17 @@ def test_karras_requires_sigma_ladder_sampler(capsys):
     assert "--karras needs --sampler" in capsys.readouterr().err
 
 
-def test_karras_rejects_img2img(capsys):
+def test_concept_rejects_img2img_before_load(capsys):
+    """--concept + --init-image must fail in the argv-validation block
+    (milliseconds), not after tokenizer/model load (ADVICE r3). A missing
+    init-image FILE would raise FileNotFoundError later; getting the
+    usage error proves we never reached any loading."""
     with pytest.raises(SystemExit) as e:
-        sample_main(["sample", "--karras", "--sampler", "euler",
-                     "--init-image", "x.png", "dump", "model",
+        sample_main(["sample", "--concept", "c.safetensors",
+                     "--init-image", "missing.png", "dump", "model",
                      "7.5", "20", "p", "out"])
     assert e.value.code == 1
-    assert "--karras is not supported with --init-image" \
+    assert "--concept is not supported with --init-image" \
         in capsys.readouterr().err
 
 
