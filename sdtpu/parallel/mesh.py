@@ -25,12 +25,32 @@ def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
     devices: Optional[Sequence] = None,
+    allow_idle: bool = False,
 ) -> Mesh:
-    """Build a ("dp", "tp") mesh. dp defaults to n_devices // tp."""
+    """Build a ("dp", "tp") mesh. dp defaults to n_devices // tp.
+
+    dp*tp must cover every provided device: silently idling chips is a
+    provisioning bug, not a layout choice (VERDICT r3 weak #5). Pass
+    allow_idle=True (and get a warning) to deliberately run a sub-mesh,
+    e.g. dp=1,tp=1 smoke tests on a multi-chip host.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
+        if n % tp:
+            raise ValueError(f"tp={tp} does not divide the {n} devices")
         dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
+    if dp * tp > n:
+        raise ValueError(f"mesh {dp}x{tp} needs {dp * tp} devices, have {n}")
+    if dp * tp < n:
+        if not allow_idle:
+            raise ValueError(
+                f"mesh {dp}x{tp} uses {dp * tp} of {n} devices; {n - dp * tp} "
+                f"would sit idle. Pass allow_idle=True if that is intended, "
+                f"or a devices= subset.")
+        import warnings
+
+        warnings.warn(f"mesh {dp}x{tp} leaves {n - dp * tp} of {n} devices idle",
+                      stacklevel=2)
     grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, ("dp", "tp"))

@@ -50,8 +50,11 @@ def test_sharding_rules():
     assert g and all(s == P() for s in g)
 
 
-def test_dp_sampling_matches_single_device():
-    """Batch-8 sampling sharded dp=8 must equal the unsharded result."""
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_sampling_matches_single_device(dp, tp):
+    """Batch-8 sampling on a (dp, tp) mesh must equal the unsharded
+    result — covers pure-dp, mixed, and tp-heavy (tp=4) layouts
+    (VERDICT r3 task 7)."""
     params = tiny_params()
     sd = StableDiffusion(params, SD_TINY)
     latent0 = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 4))
@@ -63,7 +66,7 @@ def test_dp_sampling_matches_single_device():
     ref = sd.sample_latent(ctx, unctx, 7.5, 2, initial_latent=latent0,
                            ctx_valid=valid, uncond_valid=unvalid)
 
-    mesh = make_mesh(dp=8, tp=1)
+    mesh = make_mesh(dp=dp, tp=tp)
     sharded_params = shard_params(params, mesh)
     sd2 = StableDiffusion(sharded_params, SD_TINY)
     got = sd2.sample_latent(
@@ -73,6 +76,20 @@ def test_dp_sampling_matches_single_device():
     # values are O(40) after 2 steps from pure noise; rtol matters here
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=2e-4)
+
+
+def test_make_mesh_rejects_idle_devices():
+    """dp*tp must cover the devices: silent idling is a provisioning bug
+    (VERDICT r3 weak #5)."""
+    with pytest.raises(ValueError, match="idle"):
+        make_mesh(dp=3, tp=2)
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(dp=5, tp=2)
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(tp=3)
+    with pytest.warns(UserWarning, match="idle"):
+        mesh = make_mesh(dp=2, tp=2, allow_idle=True)
+    assert mesh.shape == {"dp": 2, "tp": 2}
 
 
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
