@@ -132,10 +132,13 @@ def run_textual_inversion(
         key, sub = jax.random.split(key)
         new_emb, opt_state, loss = step_jit(new_emb, opt_state, sd.params,
                                             batch, sub)
-        if log_every and (i % log_every == 0 or i + 1 == steps):
+        # the LAST step's loss is always captured so final_loss is
+        # meaningful for any log_every, including 0 (ADVICE r3)
+        if (log_every and i % log_every == 0) or i + 1 == steps:
             loss_f = float(loss)
             losses.append((i, loss_f))
-            log(f"step {i + 1}/{steps} loss {loss_f:.5f}")
+            if log_every:
+                log(f"step {i + 1}/{steps} loss {loss_f:.5f}")
     dt = time.perf_counter() - t_start
 
     if not out_path.endswith(".safetensors"):
