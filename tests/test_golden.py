@@ -1,0 +1,139 @@
+"""Absolute end-to-end golden test (VERDICT r3 task 3).
+
+The reference's de-facto integration oracle is a committed output image
+from fixed weights (/root/reference/README.md:36-38, img0.png). This is
+sdtpu's equivalent: a COMMITTED tiny checkpoint + fixed initial latent +
+prompt must reproduce COMMITTED output pixels, f32 on CPU, for DDIM and
+a Karras-ladder sampler. Unlike the relative oracles (scan-vs-host-loop,
+dp-vs-single, merged-vs-applied LoRA) nothing here is recomputed per
+run: a silent numeric drift introduced together with its own reference
+recomputation still fails this test.
+
+Tolerance: <=1 uint8 gray level per pixel (cross-BLAS/fma slack); a real
+regression (kernel bug, dispatch change, sampler drift) moves random-
+weight outputs by far more. Re-baseline ONLY deliberately, via
+tools/make_golden.py.
+
+The config is a frozen literal ON PURPOSE — a drive-by change to the
+shared TINY config in test_pipeline.py must not silently re-define what
+the golden pins.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sdtpu.config import (
+    AutoencoderConfig,
+    CLIPConfig,
+    StableDiffusionConfig,
+    UNetConfig,
+)
+from sdtpu.pipeline import StableDiffusion
+from sdtpu.tokenizer import SimpleTokenizer
+from sdtpu.utils.image import decode_png_rgb8
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+PROMPT = "a mossy stone"
+
+GOLDEN_CONFIG = StableDiffusionConfig(
+    name="golden-tiny",
+    clip=CLIPConfig(n_vocab=49408, n_state=32, n_head=4, n_ctx=77, n_layer=2),
+    unet=UNetConfig(
+        model_channels=16,
+        channel_mult=(1, 2),
+        attention_levels=(0,),
+        n_head=4,
+        context_dim=32,
+        time_embed_dim=64,
+        groupnorm_groups=4,
+    ),
+    vae=AutoencoderConfig(
+        encoder_channels=((8, 8), (8, 16)),
+        decoder_channels=((16, 16), (16, 8)),
+        groupnorm_groups=4,
+    ),
+    image_size=32,
+)
+
+GOLDEN_CASES = {
+    "ddim": dict(sampler="ddim"),
+    "euler_karras": dict(sampler="euler", karras_sigmas=True),
+}
+
+
+def _flatten(prefix, tree, out):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(f"{prefix}/{k}" if prefix else str(k), v, out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten(f"{prefix}/{i}", v, out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten(flat):
+    tree = {}
+    for path, leaf in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return _listify(tree)
+
+
+def _listify(node):
+    """Dict levels whose keys are 0..n-1 become lists (clip blocks)."""
+    if not isinstance(node, dict):
+        return node
+    node = {k: _listify(v) for k, v in node.items()}
+    keys = list(node)
+    if keys and all(k.isdigit() for k in keys):
+        return [node[str(i)] for i in range(len(keys))]
+    return node
+
+
+def load_fixture():
+    path = os.path.join(FIXTURE_DIR, "tiny_ckpt.npz")
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    lat = flat.pop("__latent__")
+    # f16 storage -> f32 pipeline (the golden pins the f32 numerics on
+    # the f16-quantised weights)
+    flat = {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+            for k, v in flat.items()}
+    return _unflatten(flat), lat
+
+
+def build_sd(params, lat):
+    params["n_steps"] = 1000
+    return StableDiffusion(params, GOLDEN_CONFIG), lat
+
+
+def generate(sd, tok, lat, kwargs):
+    ctx, valid = sd.context(tok, PROMPT)
+    unctx, unvalid = sd.context(tok, "")
+    latent = sd.sample_latent(ctx, unctx, 7.5, 4, initial_latent=lat,
+                              ctx_valid=valid, uncond_valid=unvalid,
+                              key=jax.random.PRNGKey(7), **kwargs)
+    return sd.latent_to_image(latent)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_CASES))
+def test_golden_end_to_end(name):
+    params, lat = load_fixture()
+    sd, lat = build_sd(params, lat)
+    img = generate(sd, SimpleTokenizer(), lat, GOLDEN_CASES[name])
+    with open(os.path.join(FIXTURE_DIR, f"{name}.png"), "rb") as f:
+        want = decode_png_rgb8(f.read())
+    got = np.asarray(img[0])
+    assert got.shape == want.shape and got.dtype == want.dtype
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, (
+        f"golden {name} drifted: max {diff.max()} gray levels at "
+        f"{int((diff > 1).sum())} pixels — if this change is deliberate, "
+        f"re-baseline with tools/make_golden.py")
