@@ -387,3 +387,61 @@ def test_finetune_cli_smoke(tmp_path, capsys):
     captured = capsys.readouterr()
     assert "Done: final loss" in captured.out
     assert os.path.exists(out + ".safetensors")
+
+
+def test_overfit_reproduces_training_image(sd, tokenizer):
+    """End-to-end learning proof beyond loss-decrease (VERDICT r3 task
+    6): overfit the UNet on ONE image until generate() reproduces it.
+
+    Target = the VAE round-trip of the training image (the frozen random
+    VAE bounds what ANY latent-space training can reproduce); guidance
+    1.0 so the sampled eps is exactly the trained conditional model. A
+    perfectly-learned eps(x_t, t) = (x_t - sqrt(a)z0)/sqrt(1-a) makes
+    DDIM land exactly on z0 from any starting noise, so PSNR vs the
+    round-trip directly measures how well the train->sample loop
+    optimized the thing we claim it optimizes."""
+    import optax
+
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 32), np.linspace(-1, 1, 32),
+                         indexing="ij")
+    img = np.stack([np.sin(3 * xx) * 0.6, yy * 0.5,
+                    np.cos(2 * yy + xx) * 0.4], -1)[None].astype(np.float32)
+    z0 = np.asarray(sd.encode_image(jnp.asarray(img))) * TINY.latent_scale
+    target = sd.latent_to_image(jnp.asarray(z0, jnp.float32))
+
+    ctx, valid = sd.context(tokenizer, "a mossy stone")
+    b = 8
+    batch = (jnp.tile(jnp.asarray(z0), (b, 1, 1, 1)),
+             jnp.tile(ctx, (b, 1, 1)), jnp.tile(valid, (b, 1)))
+
+    def psnr(a, bimg):
+        mse = np.mean((a.astype(np.float32) - bimg.astype(np.float32)) ** 2)
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    def gen(unet_params):
+        sd2 = StableDiffusion({**sd.params, "unet": unet_params}, TINY)
+        lat = sd2.sample_latent(
+            ctx, ctx, 1.0, 10,
+            initial_latent=jax.random.normal(jax.random.PRNGKey(123),
+                                             (1, 4, 4, 4)),
+            ctx_valid=valid, uncond_valid=valid)
+        return sd2.latent_to_image(lat)
+
+    params = tiny_params(seed=3)["unet"]
+    before = psnr(gen(params), target)
+
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(TINY, opt))
+    key = jax.random.PRNGKey(0)
+    for _ in range(250):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, batch, sub)
+    assert np.isfinite(float(loss))
+
+    after = psnr(gen(params), target)
+    # untrained tiny UNet generates ~noise (PSNR ~10dB); a trained one
+    # must BOTH clear an absolute bar and beat its own baseline by a
+    # wide margin
+    assert after > before + 6.0, (before, after)
+    assert after > 18.0, (before, after)
