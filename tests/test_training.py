@@ -394,22 +394,38 @@ def test_overfit_reproduces_training_image(sd, tokenizer):
     6): overfit the UNet on ONE image until generate() reproduces it.
 
     Target = the VAE round-trip of the training image (the frozen random
-    VAE bounds what ANY latent-space training can reproduce); guidance
-    1.0 so the sampled eps is exactly the trained conditional model. A
-    perfectly-learned eps(x_t, t) = (x_t - sqrt(a)z0)/sqrt(1-a) makes
-    DDIM land exactly on z0 from any starting noise, so PSNR vs the
-    round-trip directly measures how well the train->sample loop
-    optimized the thing we claim it optimizes."""
+    VAE bounds what ANY latent-space training can reproduce). Two knobs
+    make the tiny random model actually reach it (measured 2026-08):
+    - latent_scale is CALIBRATED to unit latent RMS, exactly what the
+      0.18215 constant does for the real SD VAE. The random tiny VAE
+      encodes at RMS ~0.19, so the stock scale leaves the target 30x
+      below the sampler's noise floor and NO amount of training moves
+      PSNR (loss 0.002 overfit, PSNR flat at 13dB).
+    - v-prediction objective: eps-prediction amplifies model error by
+      sqrt(1-a)/sqrt(a) at the x0 read-out; v keeps it O(1). Same
+      sampler code path, config-driven (and this doubles as an
+      end-to-end v-prediction train->sample test; eps training is
+      covered by test_loss_decreases_overfit).
+    Guidance 1.0, so the sampled model is exactly the trained
+    conditional. Measured trajectory: PSNR 13.3 -> 26dB at 300 steps
+    (29dB at 400)."""
+    import dataclasses
+
     import optax
 
     yy, xx = np.meshgrid(np.linspace(-1, 1, 32), np.linspace(-1, 1, 32),
                          indexing="ij")
     img = np.stack([np.sin(3 * xx) * 0.6, yy * 0.5,
                     np.cos(2 * yy + xx) * 0.4], -1)[None].astype(np.float32)
-    z0 = np.asarray(sd.encode_image(jnp.asarray(img))) * TINY.latent_scale
-    target = sd.latent_to_image(jnp.asarray(z0, jnp.float32))
+    enc = np.asarray(sd.encode_image(jnp.asarray(img)))
+    cfg = dataclasses.replace(
+        TINY, prediction_type="v",
+        latent_scale=float(1.0 / np.sqrt((enc ** 2).mean())))
+    sdv = StableDiffusion(sd.params, cfg)
+    z0 = enc * cfg.latent_scale
+    target = sdv.latent_to_image(jnp.asarray(z0, jnp.float32))
 
-    ctx, valid = sd.context(tokenizer, "a mossy stone")
+    ctx, valid = sdv.context(tokenizer, "a mossy stone")
     b = 8
     batch = (jnp.tile(jnp.asarray(z0), (b, 1, 1, 1)),
              jnp.tile(ctx, (b, 1, 1)), jnp.tile(valid, (b, 1)))
@@ -419,29 +435,29 @@ def test_overfit_reproduces_training_image(sd, tokenizer):
         return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
 
     def gen(unet_params):
-        sd2 = StableDiffusion({**sd.params, "unet": unet_params}, TINY)
+        sd2 = StableDiffusion({**sdv.params, "unet": unet_params}, cfg)
+        hw = cfg.latent_size
         lat = sd2.sample_latent(
             ctx, ctx, 1.0, 10,
             initial_latent=jax.random.normal(jax.random.PRNGKey(123),
-                                             (1, 4, 4, 4)),
+                                             (1, hw, hw, 4)),
             ctx_valid=valid, uncond_valid=valid)
         return sd2.latent_to_image(lat)
 
     params = tiny_params(seed=3)["unet"]
     before = psnr(gen(params), target)
 
-    opt = optax.adam(2e-3)
+    opt = optax.adam(5e-3)
     opt_state = opt.init(params)
-    step = jax.jit(make_train_step(TINY, opt))
+    step = jax.jit(make_train_step(cfg, opt))
     key = jax.random.PRNGKey(0)
-    for _ in range(250):
+    for _ in range(300):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, batch, sub)
     assert np.isfinite(float(loss))
 
     after = psnr(gen(params), target)
-    # untrained tiny UNet generates ~noise (PSNR ~10dB); a trained one
-    # must BOTH clear an absolute bar and beat its own baseline by a
-    # wide margin
-    assert after > before + 6.0, (before, after)
-    assert after > 18.0, (before, after)
+    # untrained tiny UNet generates ~noise (~13dB); the trained one must
+    # BOTH clear an absolute bar and beat its baseline by a wide margin
+    assert after > before + 8.0, (before, after)
+    assert after > 20.0, (before, after)

@@ -44,8 +44,11 @@ def main():
         flat = {k: (v.astype(np.float16)
                     if getattr(v, "dtype", None) == np.float32 else v)
                 for k, v in flat.items()}
+        from tests.test_golden import GOLDEN_CONFIG
+
+        hw = GOLDEN_CONFIG.latent_size
         lat = np.asarray(
-            jax.random.normal(jax.random.PRNGKey(99), (1, 4, 4, 4)),
+            jax.random.normal(jax.random.PRNGKey(99), (1, hw, hw, 4)),
             np.float32)
         np.savez(ckpt_path, __latent__=lat, **flat)
         print(f"wrote {ckpt_path} ({os.path.getsize(ckpt_path)} bytes)")
