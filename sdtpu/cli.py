@@ -256,8 +256,9 @@ def finetune_main(argv=None) -> None:
     """sdtpu-only (the reference is inference-only):
 
     finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
-             [--steps N] [--batch B] [--accum K] [--lr F] [--ema DECAY]
-             [--bf16] [--remat] [--opt adamw|adafactor] [--save-every N]
+             [--steps N] [--batch B] [--accum K] [--accum-bf16] [--lr F]
+             [--ema DECAY] [--bf16] [--remat] [--remat-policy full|dots|heavy]
+             [--opt adamw|adafactor] [--save-every N]
              [--state-dir DIR] [--resume] [--preset P] [--seed N] [--tp N]
              [--device cpu|tpu] [--lora-rank R] [--lora-alpha A] [--flip]
 
@@ -272,7 +273,8 @@ def finetune_main(argv=None) -> None:
     """
     argv = list(sys.argv if argv is None else argv)
 
-    opts = {"steps": 100, "batch": 4, "accum": 1, "lr": 1e-5, "ema": None,
+    opts = {"steps": 100, "batch": 4, "accum": 1, "accum_bf16": False,
+            "lr": 1e-5, "ema": None,
             "bf16": False, "remat": False, "opt": "adamw", "save_every": 0,
             "state_dir": None, "resume": False, "preset": "sd-v1-4",
             "seed": 0, "tp": 1, "device": None, "lora_rank": None,
@@ -301,6 +303,14 @@ def finetune_main(argv=None) -> None:
             opts["bf16"] = True; i += 1
         elif a == "--remat":
             opts["remat"] = True; i += 1
+        elif a == "--remat-policy":
+            # full: recompute everything (min memory); dots/heavy: save
+            # matmul (+conv) outputs, recompute only elementwise chains
+            opts["remat"] = flag_value(i); i += 2
+            if opts["remat"] not in ("full", "dots", "heavy"):
+                _fail("Error: --remat-policy must be full|dots|heavy")
+        elif a == "--accum-bf16":
+            opts["accum_bf16"] = True; i += 1
         elif a == "--opt":
             opts["opt"] = flag_value(i); i += 2
             if opts["opt"] not in ("adamw", "adafactor"):
@@ -382,6 +392,7 @@ def finetune_main(argv=None) -> None:
     result = run_finetune(
         sd, tokenizer, data, out_model,
         steps=opts["steps"], batch_size=opts["batch"], accum=opts["accum"],
+        accum_bf16=opts["accum_bf16"],
         lr=opts["lr"], ema_decay=opts["ema"], opt_kind=opts["opt"],
         compute_dtype=jnp.bfloat16 if opts["bf16"] else jnp.float32,
         remat=opts["remat"], tp=opts["tp"], seed=opts["seed"],

@@ -163,6 +163,7 @@ def run_finetune(
     steps: int = 100,
     batch_size: int = 4,
     accum: int = 1,
+    accum_bf16: bool = False,
     lr: float = 1e-5,
     warmup_steps: int = 0,
     weight_decay: float = 1e-2,
@@ -173,7 +174,7 @@ def run_finetune(
     lora_alpha: Optional[float] = None,
     flip: bool = False,
     compute_dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
     tp: int = 1,
     seed: int = 0,
     save_every: int = 0,
@@ -220,14 +221,17 @@ def run_finetune(
                          weight_decay=weight_decay, grad_clip=grad_clip,
                          kind=opt_kind)
     if accum > 1:
-        # per-micro-batch stepping: MultiSteps averages `accum` gradients
+        # per-micro-batch stepping: multi_steps averages `accum` gradients
         # then applies one inner update. Chosen over the in-jit scan of
         # training.make_train_step(accum=k) because the scanned grads-tree
         # carry crashes the remote TPU compiler at SD-v1 scale (see the
-        # make_train_step docstring caveat).
-        import optax
+        # make_train_step docstring caveat). accum_bf16 keeps the running
+        # gradient sum in bf16 (halves the accumulator HBM traffic — the
+        # f32 accumulator is a measured +12%/micro-step, BENCHLOG).
+        from sdtpu.training import multi_steps
 
-        opt = optax.MultiSteps(opt, every_k_schedule=accum)
+        opt = multi_steps(opt, accum,
+                          accum_dtype=jnp.bfloat16 if accum_bf16 else None)
 
     # the trainable tree: the full UNet, or a LoRA adapter over its
     # attention linears (base frozen; optimizer state shrinks from GBs

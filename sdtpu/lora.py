@@ -97,7 +97,7 @@ def lora_param_count(lora) -> int:
 
 
 def make_lora_train_step(cfg: StableDiffusionConfig, optimizer, scale: float,
-                         compute_dtype=jnp.float32, remat: bool = False):
+                         compute_dtype=jnp.float32, remat: bool | str = False):
     """train_step(lora, opt_state, base_params, batch, key) ->
     (lora, opt_state, loss). base_params is a non-donated constant input;
     only the adapter gets gradients/updates. batch as in

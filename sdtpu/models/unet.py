@@ -485,8 +485,41 @@ def _block_apply(p, spec: BlockSpec, x, emb, context, cfg, ctx_valid,
     return x
 
 
+REMAT_POLICIES = ("full", "dots", "heavy")
+
+
+def _remat_policy(remat):
+    """Map the `remat` argument to (use_checkpoint, jax checkpoint policy).
+
+    - False/None: no rematerialisation (inference / small models)
+    - True or "full": plain block-granular jax.checkpoint — everything
+      inside a block recomputed in the backward pass (min memory)
+    - "dots": save non-batched dot_general outputs (every linear/einsum
+      over weights) + attention outputs; recompute convs + elementwise
+    - "heavy": additionally save conv outputs ('conv_out' tags in
+      ops/conv.py) — the backward recompute is then only the cheap
+      elementwise/normalisation chains between heavy ops (max speed
+      that still bounds activation memory per block)
+    """
+    if not remat:
+        return False, None
+    if remat is True or remat == "full":
+        return True, None
+    cp = jax.checkpoint_policies
+    if remat == "dots":
+        return True, cp.save_from_both_policies(
+            cp.checkpoint_dots_with_no_batch_dims,
+            cp.save_only_these_names("attn_out"))
+    if remat == "heavy":
+        return True, cp.save_from_both_policies(
+            cp.checkpoint_dots_with_no_batch_dims,
+            cp.save_only_these_names("conv_out", "attn_out"))
+    raise ValueError(
+        f"remat must be bool or one of {REMAT_POLICIES}, got {remat!r}")
+
+
 def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None,
-               remat: bool = False):
+               remat=False):
     """x: [B, h, w, in_ch] NHWC latent; t: scalar (or [1]) timestep;
     context: [B, S, context_dim]; ctx_valid: optional [B, S] bool marking
     real context tokens (static-shape fast path).
@@ -494,12 +527,16 @@ def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None,
     remat: rematerialise each block in the backward pass
     (jax.checkpoint at block granularity) — training-time memory drops
     from every-intermediate to one activation per block boundary, at the
-    cost of one extra forward. Inference paths never set it.
+    cost of one extra forward. String values select a jax.checkpoint
+    *policy* that saves the expensive intermediates and recomputes only
+    the cheap ones (see _remat_policy). Inference paths never set it.
 
     Returns epsilon prediction [B, h, w, out_ch].
     """
-    block = (jax.checkpoint(_block_apply, static_argnums=(1, 5))
-             if remat else _block_apply)
+    use_ckpt, policy = _remat_policy(remat)
+    block = (jax.checkpoint(_block_apply, static_argnums=(1, 5),
+                            policy=policy)
+             if use_ckpt else _block_apply)
     dtype = x.dtype
     t_emb = timestep_embedding(t, cfg.model_channels, cfg.max_period, dtype=dtype)
     emb = linear(params["lin2_time_embed"], silu(linear(params["lin1_time_embed"], t_emb)))
@@ -516,7 +553,7 @@ def unet_apply(params, x, t, context, cfg: UNetConfig, ctx_valid=None,
         h = _transformer_apply(m["transformer"], h, context, cfg, mid_heads, ctx_valid)
         return _res_block_apply(m["res2"], h, emb, cfg)
 
-    h = (jax.checkpoint(_mid) if remat else _mid)(
+    h = (jax.checkpoint(_mid, policy=policy) if use_ckpt else _mid)(
         params["middle_block"], h, emb, context, ctx_valid)
 
     out_specs, _ = build_output_specs(cfg)

@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 NEG_INF = float("-inf")
 
@@ -72,10 +73,15 @@ def qkv_attention(
             if key_valid is None and use_pallas_differentiable():
                 # custom-VJP form (Pallas forward, XLA backward): safe
                 # to differentiate, so it may dispatch even under
-                # force_xla(allow_differentiable=True) in training
+                # force_xla(allow_differentiable=True) in training.
+                # checkpoint_name: under remat="dots"/"heavy" the output
+                # is saved so the backward pass never re-runs the flash
+                # forward (its own VJP recomputes from q/k/v, which the
+                # dots policy saves as linear outputs)
                 from sdtpu.ops.flash_attention import flash_qkv_attention_diff
 
-                return flash_qkv_attention_diff(q, k, v, n_head)
+                return checkpoint_name(
+                    flash_qkv_attention_diff(q, k, v, n_head), "attn_out")
             if key_valid is not None and use_pallas():
                 from sdtpu.ops.flash_attention import flash_qkv_attention
 
@@ -100,4 +106,5 @@ def qkv_attention(
     w = w.astype(v.dtype)
 
     o = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
-    return o.astype(v.dtype).transpose(0, 2, 1, 3).reshape(b, sq, d)
+    o = o.astype(v.dtype).transpose(0, 2, 1, 3).reshape(b, sq, d)
+    return checkpoint_name(o, "attn_out")

@@ -21,6 +21,7 @@ from typing import Tuple, Union
 
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 PadT = Union[int, Tuple[Tuple[int, int], Tuple[int, int]]]
 
@@ -69,7 +70,11 @@ def conv2d(params, x, stride: int = 1, padding: PadT = 0):
     b = params.get("b")
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y
+    # checkpoint_name: identity outside jax.checkpoint; under a
+    # save_only_these_names-style remat policy (unet_apply
+    # remat="heavy") the conv output is SAVED for the backward pass, so
+    # only the cheap elementwise/norm chains between convs re-run
+    return checkpoint_name(y, "conv_out")
 
 
 def nearest_upsample_2x(x):
@@ -157,4 +162,4 @@ def upsample2x_conv(params, x):
     bias = params.get("b")
     if bias is not None:
         y = y + bias.astype(y.dtype)
-    return y
+    return checkpoint_name(y, "conv_out")

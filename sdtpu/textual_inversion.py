@@ -112,7 +112,7 @@ def generate_with_ti(sd, tokenizer, prompt: str, new_embeddings,
 
 
 def make_ti_train_step(cfg: StableDiffusionConfig, optimizer,
-                       compute_dtype=jnp.float32, remat: bool = False):
+                       compute_dtype=jnp.float32, remat: bool | str = False):
     """train_step(new_emb, opt_state, params, batch, key) ->
     (new_emb, opt_state, loss). params = the full frozen model tree
     ({"clip", "unet", ...}); batch = (latents, tokens [B,n_ctx] i32,

@@ -10,6 +10,7 @@ optional tp weight sharding), with XLA emitting the gradient psums.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,10 @@ def diffusion_loss(unet_params, cfg: StableDiffusionConfig, latents, context, t,
     v-prediction models). latents: [B,h,w,4], t: [B] int32.
     remat: block-granular jax.checkpoint in the UNet — cuts the stored
     activations to one per block boundary (a full SD v1 f32 train step
-    does not fit a 16GB chip without it) for one extra forward pass."""
+    does not fit a 16GB chip without it) for one extra forward pass.
+    String values ("dots"/"heavy") select a checkpoint policy that keeps
+    the expensive matmul/conv/attention outputs and recomputes only the
+    cheap elementwise chains (models/unet.py:_remat_policy)."""
     from sdtpu.ops.dispatch import force_xla
 
     x_t = q_sample(latents, noise, cfg_alphas(cfg), t)
@@ -99,6 +103,77 @@ def make_optimizer(
     )
 
 
+class MultiStepsState(NamedTuple):
+    mini_step: jnp.ndarray      # int32, 0..every_k-1
+    gradient_step: jnp.ndarray  # int32, completed optimizer steps
+    inner_state: tuple
+    acc_grads: dict             # gradient sum in accum_dtype
+
+
+def multi_steps(inner: optax.GradientTransformation, every_k: int,
+                accum_dtype=None) -> optax.GradientTransformation:
+    """Gradient accumulation wrapper (optax.MultiSteps semantics: emit
+    zero updates for every_k-1 calls, then one inner update on the mean
+    gradient) with a controllable accumulator dtype.
+
+    accum_dtype=bfloat16 halves the accumulator's HBM footprint AND the
+    per-micro-step read+write traffic (for SD v1: 3.4GB f32 -> 1.7GB —
+    the f32 accumulator is a measured +12% per micro-step, BENCHLOG).
+    The running SUM is kept in accum_dtype; the mean is computed in f32
+    before the inner (f32 master) update, so only the accumulation
+    itself rounds: summing k<=8 same-scale gradients in bf16 loses
+    ~2-3 of its 8 mantissa bits — noise relative to SGD minibatch
+    variance (oracle bound: tests/test_training.py).
+
+    accum_dtype=None accumulates in the gradients' own dtype (f32 here),
+    matching optax.MultiSteps numerics.
+    """
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def _acc_like(params):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, accum_dtype or p.dtype), params)
+
+    def init(params):
+        return MultiStepsState(
+            mini_step=jnp.zeros((), jnp.int32),
+            gradient_step=jnp.zeros((), jnp.int32),
+            inner_state=inner.init(params),
+            acc_grads=_acc_like(params))
+
+    def update(grads, state, params=None, **extra):
+        acc = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(a.dtype), state.acc_grads, grads)
+        final = state.mini_step == every_k - 1
+
+        def do_update(_):
+            mean = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32) / every_k, acc)
+            updates, inner_state = inner.update(mean, state.inner_state,
+                                                params, **extra)
+            return updates, MultiStepsState(
+                mini_step=jnp.zeros((), jnp.int32),
+                gradient_step=state.gradient_step + 1,
+                inner_state=inner_state,
+                acc_grads=_acc_like(acc))
+
+        def skip_update(_):
+            updates = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, p.dtype), params)
+            return updates, MultiStepsState(
+                mini_step=state.mini_step + 1,
+                gradient_step=state.gradient_step,
+                inner_state=state.inner_state,
+                acc_grads=acc)
+
+        if every_k == 1:
+            return do_update(None)
+        return jax.lax.cond(final, do_update, skip_update, None)
+
+    return optax.GradientTransformation(init, update)
+
+
 def ema_update(ema_params, params, decay: float = 0.9999):
     """Exponential moving average of params (the weights SD ships)."""
     return jax.tree_util.tree_map(
@@ -107,7 +182,7 @@ def ema_update(ema_params, params, decay: float = 0.9999):
 
 
 def make_train_step(cfg: StableDiffusionConfig, optimizer: optax.GradientTransformation,
-                    compute_dtype=jnp.float32, remat: bool = False,
+                    compute_dtype=jnp.float32, remat: bool | str = False,
                     accum: int = 1, ema_decay: float | None = None):
     """Returns train_step(unet_params, opt_state, batch, key) ->
     (params, opt_state, loss). batch = (latents, context) or

@@ -127,6 +127,86 @@ def test_multisteps_micro_stepping_matches_mean_grad():
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_remat_policies_match_no_remat():
+    """remat=True/"dots"/"heavy" change WHAT is stored for the backward
+    pass, never the math: loss and gradients must match remat=False
+    (same trace, f32, CPU). Pins the checkpoint_name tags in ops/conv.py
+    and ops/attention.py + the policy map (models/unet.py:_remat_policy)."""
+    from sdtpu.training import diffusion_loss
+
+    params = tiny_params()["unet"]
+    latents, context = _fixed_batch(b=2)
+    t = jnp.array([3, 7], jnp.int32)
+    noise = jax.random.normal(jax.random.PRNGKey(9), latents.shape,
+                              jnp.float32)
+
+    def lg(remat):
+        return jax.jit(jax.value_and_grad(lambda p: diffusion_loss(
+            p, TINY, latents, context, t, noise, remat=remat)))(params)
+
+    l_ref, g_ref = lg(False)
+    for remat in (True, "full", "dots", "heavy"):
+        l, g = lg(remat)
+        assert abs(float(l) - float(l_ref)) < 1e-6, remat
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=remat)
+
+
+def test_remat_invalid_policy_raises():
+    from sdtpu.models.unet import _remat_policy
+
+    with pytest.raises(ValueError, match="remat must be"):
+        _remat_policy("everything")
+
+
+def test_multi_steps_matches_optax_and_bf16_is_close():
+    """training.multi_steps is a drop-in for optax.MultiSteps in
+    run_finetune: f32 accumulation must match optax.MultiSteps exactly
+    (same mean-gradient update, params untouched mid-cycle); the bf16
+    accumulator must land within bf16 rounding (~2^-8 relative) of it."""
+    from sdtpu.training import multi_steps
+
+    params = tiny_params()["unet"]
+    micro1, micro2 = _fixed_batch(b=2, seed=1), _fixed_batch(b=2, seed=2)
+    key_a, key_b = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+
+    def run(opt):
+        step = jax.jit(make_train_step(TINY, opt))
+        p1, o1, _ = step(params, opt.init(params), micro1, key_a)
+        p2, o2, _ = step(p1, o1, micro2, key_b)
+        return p1, p2, o2
+
+    p1_ref, p2_ref, _ = run(optax.MultiSteps(optax.sgd(1.0),
+                                             every_k_schedule=2))
+    p1_f32, p2_f32, o_f32 = run(multi_steps(optax.sgd(1.0), 2))
+    # mid-cycle: params bit-identical to the input tree
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p1_f32)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(o_f32.gradient_step) == 1 and int(o_f32.mini_step) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(p2_ref),
+                    jax.tree_util.tree_leaves(p2_f32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    _, p2_bf16, _ = run(multi_steps(optax.sgd(1.0), 2,
+                                    accum_dtype=jnp.bfloat16))
+    for p0, a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2_ref),
+                        jax.tree_util.tree_leaves(p2_bf16)):
+        # the applied update (p - p0) may round at bf16 granularity;
+        # bound the update ERROR by ~2^-7 of the update magnitude + eps
+        upd_ref = np.asarray(a) - np.asarray(p0)
+        upd_b16 = np.asarray(b) - np.asarray(p0)
+        err = np.abs(upd_b16 - upd_ref)
+        # each accumulation rounds relative to the MAGNITUDES being
+        # summed (which may cancel), so bound by the leaf's update scale
+        bound = np.abs(upd_ref).max() * 2.0 ** -7 + 1e-7
+        assert (err <= bound).all(), float((err - bound).max())
+
+
 def test_accum_rejects_indivisible_batch():
     step = jax.jit(make_train_step(TINY, optax.adam(1e-3), accum=3))
     params = tiny_params()["unet"]
