@@ -53,8 +53,34 @@ def main():
     params = _build(jax.random.PRNGKey(0))
     params["n_steps"] = 1000
     sd = StableDiffusion(params, cfg, compute_dtype=jnp.bfloat16)
-    batcher = Batcher(sd, SimpleTokenizer(), max_batch=4, window_ms=25.0,
-                      timeout_s=3600.0)
+
+    # NOREADBACK=1: device-resident serving — complete requests on a
+    # cheap scalar sync (the validated device-done signal, CLAUDE.md)
+    # instead of fetching the u8 image batch through the tunnel. The
+    # A-vs-B gap is the TRANSPORT share of the serving stack; what
+    # remains above bench.py's raw device number is the framework share
+    # (VERDICT r3 task 4).
+    class NoReadbackBatcher(Batcher):
+        def _complete(self):
+            while True:
+                images, items, counts = self._readback_q.get()
+                try:
+                    float(jnp.sum(images[0, 0, 0].astype(jnp.float32)))
+                    for *_rest, ev, slot in items:
+                        slot["images"] = []
+                        ev.set()
+                except Exception as e:  # pragma: no cover
+                    for *_rest, ev, slot in items:
+                        slot["error"] = f"{type(e).__name__}: {e}"
+                        ev.set()
+
+    cls = (NoReadbackBatcher if os.environ.get("NOREADBACK", "0") == "1"
+           else Batcher)
+    ctx_cache = 0 if os.environ.get("CTXCACHE", "1") == "0" else 256
+    print(f"mode: {'no-readback' if cls is NoReadbackBatcher else 'full'}"
+          f" ctx_cache={ctx_cache}", flush=True)
+    batcher = cls(sd, SimpleTokenizer(), max_batch=4, window_ms=25.0,
+                  timeout_s=3600.0, ctx_cache_size=ctx_cache)
 
     steps = int(os.environ.get("STEPS", "20"))
 

@@ -61,7 +61,9 @@ class Batcher:
     """
 
     def __init__(self, sd, tokenizer, max_batch: int = 8, window_ms: float = 15.0,
-                 max_queue: int = 32, timeout_s: float = 120.0):
+                 max_queue: int = 32, timeout_s: float = 120.0,
+                 ctx_cache_size: int = 256):
+        import collections
         import queue
 
         self.sd = sd
@@ -72,6 +74,13 @@ class Batcher:
         self.timeout_s = timeout_s
         self.queue: "queue.Queue" = queue.Queue()
         self._held = []  # items deferred because their key mismatched
+        # prompt -> (context, valid) LRU: sd.context is a CLIP forward —
+        # a device round-trip PER PROMPT PER REQUEST without it. Repeated
+        # prompts and the near-universal "" negative hit the cache; the
+        # encoding is deterministic, so caching is semantics-free.
+        # Worker-thread-only access: no lock needed.
+        self._ctx_cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._ctx_cache_size = ctx_cache_size
         # device->host readback runs on its own thread so the worker can
         # dispatch the NEXT batch while the previous one transfers
         # (measured: per-batch image readback otherwise serializes with
@@ -168,6 +177,17 @@ class Batcher:
                     slot["error"] = f"{type(e).__name__}: {e}"
                     ev.set()
 
+    def _context_cached(self, prompt: str):
+        cache = self._ctx_cache
+        if prompt in cache:
+            cache.move_to_end(prompt)
+            return cache[prompt]
+        out = self.sd.context(self.tokenizer, prompt)
+        cache[prompt] = out
+        if len(cache) > self._ctx_cache_size:
+            cache.popitem(last=False)
+        return out
+
     def _run_batch(self, items, jax, jnp, np):
         sd, tok = self.sd, self.tokenizer
         steps, sampler, karras = items[0][1], items[0][6], items[0][7]
@@ -175,8 +195,8 @@ class Batcher:
         counts = []
         for (prompt, _steps, scale, seed, n_images, negative, _sampler,
              _karras, _ev, _slot) in items:
-            ctx, valid = sd.context(tok, prompt)
-            unctx, unvalid = sd.context(tok, negative)
+            ctx, valid = self._context_cached(prompt)
+            unctx, unvalid = self._context_cached(negative)
             key = jax.random.PRNGKey(seed if seed is not None
                                      else time.monotonic_ns() % (2 ** 63))
             hw = sd.config.latent_size

@@ -263,3 +263,33 @@ def test_request_timeout_504():
     b = Batcher(sd, SimpleTokenizer(), timeout_s=0.0)
     with pytest.raises(RequestTimeout):
         b.submit("slow", 2, 7.5, 0, 1, "")
+
+
+def test_context_cache_hits_and_bounds():
+    """The batcher's prompt->context LRU: a repeat prompt returns the
+    CACHED tensors (no CLIP re-run — identity check), values equal a
+    fresh sd.context, and the cache never exceeds its size bound."""
+    from sdtpu.serve import Batcher
+
+    sd = StableDiffusion(tiny_params(), TINY)
+    tok = SimpleTokenizer()
+    b = Batcher(sd, tok, ctx_cache_size=2)
+
+    c1 = b._context_cached("an ancient mossy stone")
+    c2 = b._context_cached("an ancient mossy stone")
+    assert c1[0] is c2[0]  # cache hit, not a recompute
+    ref = sd.context(tok, "an ancient mossy stone")
+    np.testing.assert_allclose(np.asarray(c1[0]), np.asarray(ref[0]),
+                               rtol=1e-6)
+
+    b._context_cached("")
+    b._context_cached("a third prompt")  # evicts the oldest
+    assert len(b._ctx_cache) == 2
+    assert "an ancient mossy stone" not in b._ctx_cache
+
+    # serving results must be unaffected by cache state (same seed ->
+    # same image, cached vs cold batcher)
+    cold = Batcher(sd, tok, ctx_cache_size=0)
+    img_a = b.submit("an ancient mossy stone", 2, 7.5, 11, 1, "")
+    img_b = cold.submit("an ancient mossy stone", 2, 7.5, 11, 1, "")
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
