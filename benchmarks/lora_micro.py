@@ -45,8 +45,18 @@ def main():
     print(f"rank {rank}: {lora_param_count(lora0)/1e6:.2f}M adapter params",
           flush=True)
     opt = make_optimizer(lr=1e-4)
-    for batch, remat in ((4, True), (8, True), (16, True), (8, False),
-                         (16, False), (24, False)):
+    # argv[1]: comma-separated batch:remat pairs (remat in
+    # full/dots/heavy/none), e.g. "16:none,24:heavy,32:heavy" — r4
+    # re-measure of the plateau under the selective policies.
+    if len(sys.argv) > 1:
+        def _r(tok):
+            b, r = tok.split(":")
+            return int(b), {"full": True, "none": False}.get(r, r)
+        configs = tuple(_r(t) for t in sys.argv[1].split(","))
+    else:
+        configs = ((4, True), (8, True), (16, True), (8, False),
+                   (16, False), (24, False))
+    for batch, remat in configs:
         lora = jax.tree_util.tree_map(jnp.asarray, lora_host)
         opt_state = jax.jit(opt.init)(lora)
         step = jax.jit(
