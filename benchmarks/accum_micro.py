@@ -42,7 +42,13 @@ def main():
     print(f"device: {jax.devices()[0]}", flush=True)
 
     # (micro_bs, accum): effective batch = micro_bs * accum
-    for micro_bs, accum in ((2, 2), (2, 4), (4, 2)):
+    # argv[1]: comma-separated micro:accum pairs, e.g. "4:2"
+    if len(sys.argv) > 1:
+        configs = tuple(tuple(int(v) for v in t.split(":"))
+                        for t in sys.argv[1].split(","))
+    else:
+        configs = ((2, 2), (2, 4), (4, 2))
+    for micro_bs, accum in configs:
         params = jax.jit(lambda k: init_unet(k, cfg.unet, dtype=jnp.float32))(
             jax.random.PRNGKey(0))
         opt = optax.MultiSteps(make_optimizer(), every_k_schedule=accum)

@@ -28,6 +28,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from sdtpu.config import StableDiffusionConfig
 from sdtpu.dataset import LatentBatches, build_latent_cache, load_latent_cache
@@ -221,17 +222,25 @@ def run_finetune(
                          weight_decay=weight_decay, grad_clip=grad_clip,
                          kind=opt_kind)
     if accum > 1:
-        # per-micro-batch stepping: multi_steps averages `accum` gradients
-        # then applies one inner update. Chosen over the in-jit scan of
-        # training.make_train_step(accum=k) because the scanned grads-tree
-        # carry crashes the remote TPU compiler at SD-v1 scale (see the
-        # make_train_step docstring caveat). accum_bf16 keeps the running
-        # gradient sum in bf16 (halves the accumulator HBM traffic — the
-        # f32 accumulator is a measured +12%/micro-step, BENCHLOG).
-        from sdtpu.training import multi_steps
+        # per-micro-batch stepping: the accumulator averages `accum`
+        # gradients then applies one inner update. Chosen over the in-jit
+        # scan of training.make_train_step(accum=k) because the scanned
+        # grads-tree carry crashes the remote TPU compiler at SD-v1 scale
+        # (see the make_train_step docstring caveat). accum_bf16 keeps
+        # the running gradient sum in bf16 (halves the accumulator HBM
+        # traffic: f32 248.9 -> bf16 215.0 ms/micro-step at SD-v1
+        # micro-batch 4, BENCHLOG r4). The f32 (accum_dtype=None) config
+        # of training.multi_steps ALSO crashes the remote compiler at
+        # SD-v1 scale (measured 2x, both remat policies, while
+        # optax.MultiSteps' f32 graph compiles in the same windows —
+        # benchmarks/accum_bf16_ab.py vs accum_micro.py), so the f32
+        # route keeps the proven optax implementation.
+        if accum_bf16:
+            from sdtpu.training import multi_steps
 
-        opt = multi_steps(opt, accum,
-                          accum_dtype=jnp.bfloat16 if accum_bf16 else None)
+            opt = multi_steps(opt, accum, accum_dtype=jnp.bfloat16)
+        else:
+            opt = optax.MultiSteps(opt, every_k_schedule=accum)
 
     # the trainable tree: the full UNet, or a LoRA adapter over its
     # attention linears (base frozen; optimizer state shrinks from GBs

@@ -127,6 +127,15 @@ def multi_steps(inner: optax.GradientTransformation, every_k: int,
 
     accum_dtype=None accumulates in the gradients' own dtype (f32 here),
     matching optax.MultiSteps numerics.
+
+    CAVEAT (measured 2026-08, axon v5e): at SD-v1 scale the
+    accum_dtype=None configuration of THIS wrapper crashes the remote
+    TPU compile helper (2/2 windows, both remat policies) while
+    optax.MultiSteps' f32 graph compiles in the same windows
+    (benchmarks/accum_bf16_ab.py vs accum_micro.py) — for full-size f32
+    accumulation use optax.MultiSteps (finetune.run_finetune does).
+    The bf16 configuration compiles and is the faster path anyway
+    (248.9 -> 215.0 ms/micro-step at micro-batch 4, BENCHLOG r4).
     """
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
