@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
             o_ref, xn_scr, kt_scr, vt_scr, ot_scr, *,
-            scale, bq, n_head, d_head, eps):
+            scale, bq, n_head, d_head, eps, unroll_heads):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -60,7 +60,8 @@ def _kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
             preferred_element_type=jnp.float32).astype(vt_scr.dtype)
 
     xq = xn_scr[pl.ds(j * bq, bq), :]  # [bq, C] (normed)
-    for h in range(n_head):
+
+    def _head(h, carry):
         w_h = wq_ref[h]  # [C, d_head]
         q_h = jax.lax.dot_general(
             xq, w_h, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -78,6 +79,18 @@ def _kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [dh, bq]
         ot_scr[pl.ds(h * d_head, d_head), :] = ot_h / l.T
+        return carry
+
+    if unroll_heads:
+        # unrolled: Mosaic software-pipelines across heads — measured
+        # best at S <= 4096 (3.67 vs 3.94ms at S=4096 B8, BENCHLOG r4)
+        for h in range(n_head):
+            _head(h, 0)
+    else:
+        # rolled: 8x smaller program; at S=16384 the unrolled form is
+        # both slower (34.8 vs 26.8ms, BENCHLOG r4) and the reason
+        # bq>128 used to tip the remote Mosaic compiler over
+        jax.lax.fori_loop(0, n_head, _head, 0)
 
     # merged out-projection (sublane contraction over C) + bias + residual
     out = jax.lax.dot_general(
@@ -89,11 +102,13 @@ def _kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "eps", "block_q", "interpret")
+    jax.jit, static_argnames=("n_head", "eps", "block_q", "unroll_heads",
+                              "interpret")
 )
 def fused_self_attention(x, ln_g, ln_b, wq, wk, wv, wo, bo,
                          n_head: int, eps: float = 1e-5,
-                         block_q: int = 0, interpret: bool = False):
+                         block_q: int = 0, unroll_heads: bool | None = None,
+                         interpret: bool = False):
     """x: [B, S, C] -> x + out_proj(attn(LN(x))), one HBM round trip.
 
     wq/wk/wv: [C, C] (no bias, matching unet/mod.rs:642-652); wo: [C, C];
@@ -101,15 +116,21 @@ def fused_self_attention(x, ln_g, ln_b, wq, wk, wv, wo, bo,
     granule; SD v1: 40/80/160). block_q=0 picks the measured-best block
     (256 at S in [2048, 4096], 128 below AND above —
     benchmarks/fused_attn_micro.py + longctx_micro.py; larger blocks
-    pipeline WORSE here because the j==0 prep step serialises, and at
-    S=16384 bq=128 measured 20.1ms vs an unfused-sublayer 26.1ms while
-    bq=256 tips the remote Mosaic compiler over).
+    pipeline WORSE here because the j==0 prep step serialises).
+
+    unroll_heads (default: S <= 4096): unrolled head loop at small S
+    (Mosaic pipelines across heads), lax.fori_loop above — at S=16384
+    the rolled form is 26.8 vs 34.8ms (B4 C320, interleaved min-of-N,
+    BENCHLOG r4; the 8x-smaller program is also what stops bq>=256
+    tipping the remote Mosaic compiler over at 16K).
     """
     b, s, c = x.shape
     d_head = c // n_head
     assert d_head * n_head == c and d_head % 8 == 0, (c, n_head)
     scale = float(d_head) ** -0.5
 
+    if unroll_heads is None:
+        unroll_heads = s <= 4096
     if not block_q:
         block_q = 256 if 2048 <= s <= 4096 else 128
     bq = min(block_q, s)
@@ -123,7 +144,8 @@ def fused_self_attention(x, ln_g, ln_b, wq, wk, wv, wo, bo,
     grid = (b, nq)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, bq=bq, n_head=n_head,
-                          d_head=d_head, eps=eps),
+                          d_head=d_head, eps=eps,
+                          unroll_heads=unroll_heads),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, s, c), lambda i, j: (i, 0, 0)),   # x (full seq)

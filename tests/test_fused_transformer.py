@@ -52,6 +52,23 @@ def test_fused_matches_unfused_f32(b, s, c, n_head, block_q):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,s,c,n_head,block_q", [
+    (2, 256, 64, 4, 128),   # multiple q blocks, dh=16
+    (1, 128, 80, 2, 64),    # dh=40 (the SD head dim), two blocks
+])
+def test_fused_rolled_heads_matches_unfused(b, s, c, n_head, block_q):
+    """The lax.fori_loop head path (dispatched at S > 4096 — the 1024px
+    regime; BENCHLOG r4) against the same unfused oracle."""
+    x, g, bb, wq, wk, wv, wo, bo = _make(jax.random.PRNGKey(2), b, s, c,
+                                         jnp.float32)
+    want = _unfused(x, g, bb, wq, wk, wv, wo, bo, n_head)
+    got = fused_self_attention(x, g, bb, wq, wk, wv, wo, bo, n_head,
+                               block_q=block_q, unroll_heads=False,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_matches_unfused_bf16():
     x, g, bb, wq, wk, wv, wo, bo = _make(jax.random.PRNGKey(1), 2, 128, 64,
                                          jnp.bfloat16)
