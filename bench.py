@@ -89,6 +89,17 @@ def main():
     # weak #1 regression check).
     init_dtype = (jnp.float32 if os.environ.get("SDTPU_BENCH_F32_LOAD")
                   else dtype)
+
+    # Session-attach: the FIRST device work of a fresh client stalls
+    # while the server tears down the previous client's buffers —
+    # measured 60-94s when bench processes run back-to-back vs ~0 after
+    # a minute of idle (BENCHLOG r4). A 1-scalar round trip absorbs the
+    # stall here so init_s reports what param init actually costs;
+    # attach_s reports the (init-method-independent) transition cost.
+    t0 = time.perf_counter()
+    np.asarray(jnp.sum(jax.device_put(jnp.ones((), jnp.float32))))
+    attach_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
 
     # Spec-mode init (models/rng.SpecKey + device_expand): the tree is
@@ -219,6 +230,7 @@ def main():
         "transfer_ms": round(transfer_s * 1000.0, 2),
         "compile_s": round(compile_s + decode_compile_s, 2),
         "init_s": round(init_s, 2),
+        "attach_s": round(attach_s, 2),
         "n_devices": n_dev,
         "device": str(jax.devices()[0]),
     }), flush=True)
