@@ -117,15 +117,19 @@ def main():
     n = n_clients * per_client
     print(f"steady-state: {n} images in {wall:.2f}s = "
           f"{n/wall:.3f} img/s through the serving stack", flush=True)
-    # interior rate: drop the first batch's fill (client startup + the
-    # first window) so the number measures the pipeline's steady state
-    # rather than amortised ramp — with only n images the fill is a
-    # visible slice of the wall clock
+    # interior rate: drop the first full batch window's completions
+    # (client startup + the first fill) so the number measures the
+    # pipeline's steady state rather than amortised ramp — with only n
+    # images the fill is a visible slice of the wall clock. The cut is
+    # derived from the batcher config (ADVICE r4: a hardcoded 4 skews
+    # the headline under different serve configs); RAMP_DROP overrides.
     done.sort()
-    interior = done[4:]
+    cut = int(os.environ.get("RAMP_DROP", str(batcher.max_batch)))
+    interior = done[cut:]
     if len(interior) > 1:
         rate = (len(interior) - 1) / (interior[-1] - interior[0])
-        print(f"interior (completions 5..{n}): {rate:.3f} img/s", flush=True)
+        print(f"interior (completions {cut + 1}..{n}): {rate:.3f} img/s",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -217,6 +217,11 @@ def run_finetune(
     if batch_size % accum:
         raise ValueError(f"batch_size {batch_size} not divisible by "
                          f"accum {accum}")
+    if accum_bf16 and accum <= 1:
+        # without accumulation there is no running gradient sum to keep
+        # in bf16 — a silent no-op would make the flag look effective
+        # (ADVICE r4)
+        raise ValueError("--accum-bf16 has no effect without --accum k>1")
     micro_bs = batch_size // accum
     opt = make_optimizer(lr=lr, warmup_steps=warmup_steps, total_steps=steps,
                          weight_decay=weight_decay, grad_clip=grad_clip,
@@ -271,12 +276,28 @@ def run_finetune(
         if not (state_dir and os.path.isdir(state_dir)):
             raise FileNotFoundError(
                 f"--resume: no train state at {state_dir!r}")
-        if ema_params is not None:
-            train_tree, opt_state, step0, ema_params = restore_train_state(
-                state_dir, template=(train_tree, opt_state), ema=ema_params)
-        else:
-            train_tree, opt_state, step0 = restore_train_state(
-                state_dir, template=(train_tree, opt_state))
+        try:
+            if ema_params is not None:
+                train_tree, opt_state, step0, ema_params = \
+                    restore_train_state(state_dir,
+                                        template=(train_tree, opt_state),
+                                        ema=ema_params)
+            else:
+                train_tree, opt_state, step0 = restore_train_state(
+                    state_dir, template=(train_tree, opt_state))
+        except (ValueError, KeyError, TypeError) as e:
+            # the opt_state pytree is part of the orbax template: states
+            # saved under a different optimizer stack (e.g. f32-accum
+            # states written by the brief training.multi_steps routing
+            # before r4's optax.MultiSteps fix, or a different
+            # --accum/--accum-bf16/--opt combination) fail the template
+            # restore with an opaque tree mismatch (ADVICE r4)
+            raise RuntimeError(
+                f"--resume: train state at {state_dir!r} does not match "
+                f"the current optimizer configuration (accum={accum}, "
+                f"accum_bf16={accum_bf16}, opt={opt_kind}). Resume with "
+                f"the flags the state was saved under, or restart "
+                f"training from the model checkpoint.") from e
         log(f"resumed step {step0} from {state_dir}")
 
     # EMA is applied host-side at optimizer-step boundaries (with accum>1

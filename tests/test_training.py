@@ -450,6 +450,38 @@ def test_run_finetune_and_resume(tmp_path, sd, tokenizer):
     assert not np.array_equal(base_leaf, new_leaf)
 
 
+def test_accum_bf16_without_accum_rejected(tmp_path, sd, tokenizer):
+    """--accum-bf16 with accum==1 would silently be a no-op (the whole
+    accumulator branch is gated on accum>1) — it must raise instead
+    (ADVICE r4)."""
+    from sdtpu.finetune import run_finetune
+
+    data_dir = _write_dataset(tmp_path)
+    with pytest.raises(ValueError, match="accum-bf16"):
+        run_finetune(sd, tokenizer, data_dir, str(tmp_path / "m"),
+                     steps=1, batch_size=8, accum=1, accum_bf16=True,
+                     log=lambda s: None)
+
+
+def test_resume_optimizer_mismatch_message(tmp_path, sd, tokenizer):
+    """Resuming a train state under a different optimizer stack (here:
+    accum=1 state resumed with accum=2, which wraps the optimizer in
+    optax.MultiSteps and changes the opt_state pytree) must fail with a
+    message naming the configuration, not an opaque orbax tree mismatch
+    (ADVICE r4)."""
+    from sdtpu.finetune import run_finetune
+
+    data_dir = _write_dataset(tmp_path)
+    state_dir = str(tmp_path / "state_mm")
+    run_finetune(sd, tokenizer, data_dir, str(tmp_path / "m1"),
+                 steps=2, batch_size=8, save_every=2, state_dir=state_dir,
+                 log=lambda s: None)
+    with pytest.raises(RuntimeError, match="optimizer configuration"):
+        run_finetune(sd, tokenizer, data_dir, str(tmp_path / "m2"),
+                     steps=4, batch_size=16, accum=2, state_dir=state_dir,
+                     resume=True, log=lambda s: None)
+
+
 def test_finetune_cli_smoke(tmp_path, capsys):
     from sdtpu.cli import finetune_main
     from sdtpu.io.native import save_native
