@@ -25,7 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main():
     from tests.test_golden import (
-        FIXTURE_DIR, GOLDEN_CASES, PROMPT, _flatten, build_sd, load_fixture,
+        FIXTURE_DIR, GOLDEN_CASES, _flatten, load_fixture,
     )
     from sdtpu.tokenizer import SimpleTokenizer
     from sdtpu.utils.image import encode_png_rgb8
@@ -55,10 +55,13 @@ def main():
 
     from tests.test_golden import generate
 
-    sd, lat = build_sd(*load_fixture())
+    params, lat = load_fixture()
     tok = SimpleTokenizer()
-    for name, kwargs in GOLDEN_CASES.items():
-        img = generate(sd, tok, lat, kwargs)
+    only = set(sys.argv[1:])  # optional case names: add without re-baselining
+    for name, case in GOLDEN_CASES.items():
+        if only and name not in only:
+            continue
+        img = generate(params, tok, lat, case)
         out = os.path.join(FIXTURE_DIR, f"{name}.png")
         with open(out, "wb") as f:
             f.write(encode_png_rgb8(img[0]))
