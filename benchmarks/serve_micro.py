@@ -132,5 +132,178 @@ def main():
               flush=True)
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def soak():
+    """SOAK_S=300: mixed-endpoint soak (VERDICT r4 #6b) — sustained
+    concurrent traffic across samplers, Karras spacing, a LoRA adapter,
+    mixed n_images and a prompt pool larger than the context LRU, with
+    PASS/FAIL gates on bounded RSS, a frozen jit cache (no graph churn
+    after warm), starvation, and a steady interior rate.
+    """
+    import numpy as np
+
+    from sdtpu.config import SD_V1_4
+    from sdtpu.diffusion import scaled_linear_alphas_cumprod
+    from sdtpu.lora import init_lora
+    from sdtpu.models.clip import init_clip
+    from sdtpu.models.unet import init_unet
+    from sdtpu.models.vae import init_autoencoder
+    from sdtpu.pipeline import StableDiffusion, _sample_latent_impl
+    from sdtpu.serve import Batcher
+    from sdtpu.tokenizer import SimpleTokenizer
+
+    cfg = SD_V1_4
+    soak_s = float(os.environ.get("SOAK_S", "300"))
+    steps = int(os.environ.get("STEPS", "20"))
+    n_clients = int(os.environ.get("CLIENTS", "8"))
+    print(f"device: {jax.devices()[0]}  soak {soak_s:.0f}s "
+          f"{n_clients} clients steps={steps}", flush=True)
+
+    @jax.jit
+    def _build(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "clip": init_clip(k1, cfg.clip, dtype=jnp.bfloat16),
+            "unet": init_unet(k2, cfg.unet, dtype=jnp.bfloat16),
+            "autoencoder": init_autoencoder(k3, cfg.vae, dtype=jnp.bfloat16),
+            "alphas_cumprod": scaled_linear_alphas_cumprod(1000),
+        }
+
+    params = _build(jax.random.PRNGKey(0))
+    params["n_steps"] = 1000
+    sd = StableDiffusion(params, cfg, compute_dtype=jnp.bfloat16)
+    adapter = init_lora(jax.random.PRNGKey(1), params["unet"], rank=8)
+    batcher = Batcher(sd, SimpleTokenizer(), max_batch=4, window_ms=25.0,
+                      timeout_s=600.0, ctx_cache_size=32,
+                      loras={"style": (adapter, 1.0)})
+
+    # request mix: 3 batch keys (ddim base, dpmpp+karras base, ddim lora),
+    # n_images 1 or 2, prompts from a pool LARGER than the 32-entry ctx
+    # LRU so eviction churns continuously
+    prompts = [f"an ancient mossy stone, variation {i}" for i in range(48)]
+    mix = [
+        dict(sampler="ddim", karras=False, lora=None, n=1),
+        dict(sampler="ddim", karras=False, lora=None, n=2),
+        dict(sampler="dpmpp", karras=True, lora=None, n=1),
+        dict(sampler="ddim", karras=False, lora="style", n=1),
+    ]
+
+    def one(seed, m, prompt):
+        return batcher.submit(prompt, steps=steps, scale=7.5, seed=seed,
+                              n_images=m["n"], negative="",
+                              sampler=m["sampler"], karras=m["karras"],
+                              lora=m["lora"])
+
+    # warm every (static-combo, padded-batch) graph the mix can produce
+    # BEFORE the clock starts — the soak judges steady state, not
+    # compiles. Distinct compiles: 2 sampler static combos (the lora key
+    # shares the ddim graphs — only its params differ) x padded batch
+    # shapes {1, 2, 4}.
+    t0 = time.perf_counter()
+    for m in (mix[0], mix[2]):
+        one(0, m, prompts[0])                          # batch 1
+        one(0, dict(m, n=2), prompts[0])               # batch 2
+        th = [threading.Thread(target=one, args=(i, m, prompts[i]))
+              for i in range(1, 5)]                    # batch 4
+        [t.start() for t in th]
+        [t.join() for t in th]
+    one(0, mix[3], prompts[0])  # lora merge (no new jit entries)
+    print(f"warm (all keys x batch shapes): {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    def _jit_entries():
+        try:
+            return _sample_latent_impl._cache_size()
+        except Exception:
+            return -1  # jax version without _cache_size: check degrades
+
+    jit_entries_warm = _jit_entries()
+    rss_warm = _rss_mb()
+
+    done = []          # (t_completion, latency_s, n_images)
+    errors = []
+    rss_samples = []
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def client(cid):
+        rng = np.random.default_rng(cid)
+        i = 0
+        while not stop.is_set():
+            m = mix[(cid + i) % len(mix)]
+            prompt = prompts[int(rng.integers(len(prompts)))]
+            t0 = time.perf_counter()
+            try:
+                one(1000 + cid * 10000 + i, m, prompt)
+                with lock:
+                    done.append((time.perf_counter(),
+                                 time.perf_counter() - t0, m["n"]))
+            except Exception as e:
+                with lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+            i += 1
+
+    t_start = time.perf_counter()
+    th = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+    [t.start() for t in th]
+    while time.perf_counter() - t_start < soak_s:
+        time.sleep(10.0)
+        rss_samples.append((time.perf_counter() - t_start, _rss_mb()))
+    stop.set()
+    [t.join() for t in th]
+    wall = time.perf_counter() - t_start
+
+    imgs = sum(n for *_x, n in done)
+    lats = sorted(l for _t, l, _n in done)
+    print(f"soak: {len(done)} requests / {imgs} images in {wall:.1f}s = "
+          f"{imgs/wall:.3f} img/s; latency p50 {lats[len(lats)//2]:.2f}s "
+          f"p99 {lats[int(len(lats)*0.99)]:.2f}s max {lats[-1]:.2f}s",
+          flush=True)
+
+    # thirds: steady interior rate must not decay
+    ts = sorted(t for t, _l, _n in done)
+    third = wall / 3.0
+    def rate(lo, hi):
+        w = [t for t in ts if lo <= t - t_start < hi]
+        return (len(w) - 1) / (w[-1] - w[0]) if len(w) > 1 else 0.0
+    r_mid, r_fin = rate(third, 2 * third), rate(2 * third, wall)
+    print(f"request rate mid-third {r_mid:.3f}/s final-third {r_fin:.3f}/s",
+          flush=True)
+
+    jit_entries_end = _jit_entries()
+    rss_end = rss_samples[-1][1] if rss_samples else _rss_mb()
+    rss_1min = next((m for t, m in rss_samples if t >= 60.0), rss_warm)
+    print(f"rss warm {rss_warm:.0f}MB, 1min {rss_1min:.0f}MB, "
+          f"end {rss_end:.0f}MB; jit cache {jit_entries_warm} -> "
+          f"{jit_entries_end}; held {len(batcher._held)}; "
+          f"errors {len(errors)}", flush=True)
+
+    checks = [
+        ("no errors", not errors),
+        ("jit cache frozen after warm", jit_entries_end == jit_entries_warm),
+        ("rss bounded (<300MB growth after min 1)", rss_end - rss_1min < 300.0),
+        ("no starvation (max latency < 8x p50 + window)",
+         lats[-1] < 8.0 * lats[len(lats) // 2] + 1.0),
+        ("steady rate (final third >= 85% of mid)", r_fin >= 0.85 * r_mid),
+        ("held queue drained", len(batcher._held) == 0),
+    ]
+    ok = True
+    for name, passed in checks:
+        print(f"  {'PASS' if passed else 'FAIL'}: {name}", flush=True)
+        ok &= passed
+    if errors:
+        print("  first errors: " + "; ".join(errors[:3]), flush=True)
+    print("SOAK " + ("PASS" if ok else "FAIL"), flush=True)
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
+    if os.environ.get("SOAK_S"):
+        sys.exit(soak())
     main()

@@ -18,3 +18,26 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------- smoke
+# `pytest -m smoke` = the <4-min correctness gate for iteration on the
+# 1-CPU host (VERDICT r4 #8): the absolute golden pins, the op/sampler
+# oracles, the pipeline and the CLI surface. The full suite stays the
+# end-of-round gate.
+SMOKE_MODULES = {
+    "test_golden",
+    "test_ops",
+    "test_sampler_oracles",
+    "test_pipeline",
+    "test_cli",
+    "test_dispatch_gates",
+    "test_tokenizer",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Drive every weight-I/O converter path at real SD-v1 scale.
+
+The reference's converter demonstrably works on the real 3.4GB model
+(convert/main.rs:39-58; the ~1000-file dump walk, load.rs:30-47); until
+r5 every sdtpu converter was round-trip-proven only at tiny scale
+(VERDICT r4 missing #2). This tool synthesizes a full SD-v1-sized f32
+tree (rng.host_key — deterministic, no checkpoint needed) and drives
+
+    ldm-ckpt -> params          (io/ckpt.py key mapping + transposes)
+    params   -> native -> params    (io/native.py safetensors)
+    params   -> dump   -> params    (io/npy_tree.py, bulk AND serial)
+    params   -> mpk    -> params    (io/mpk.py strict burn schema)
+
+with BIT-equality checks at every hop, wall times, sizes and peak RSS.
+
+    python tools/io_scale_proof.py [workdir=/tmp/sdtpu_io_scale]
+
+Record the output in BENCHLOG.md. ~11GB of disk, ~20GB peak RSS.
+"""
+
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def du_gb(path: str) -> float:
+    if os.path.isfile(path):
+        return os.path.getsize(path) / 1e9
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total / 1e9
+
+
+def n_files(path: str) -> int:
+    return sum(len(fs) for _, _, fs in os.walk(path))
+
+
+def check_equal(a, b, where: str) -> None:
+    """Bit-equality over two param trees (f32 leaves)."""
+    import jax
+
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb, f"{where}: tree structure differs"
+    for i, (x, y) in enumerate(zip(la, lb)):
+        x, y = np.asarray(x), np.asarray(y)
+        if x.shape != y.shape or not np.array_equal(x, y):
+            raise AssertionError(
+                f"{where}: leaf {i} differs (shape {x.shape} vs {y.shape}, "
+                f"maxdiff {np.abs(x.astype(np.float64) - y.astype(np.float64)).max()})")
+    print(f"  bit-equal: {where} ({len(la)} leaves)", flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from sdtpu.config import SD_V1_4
+    from sdtpu.diffusion import scaled_linear_alphas_cumprod
+    from sdtpu.models import rng
+    from sdtpu.models.clip import init_clip
+    from sdtpu.models.unet import init_unet
+    from sdtpu.models.vae import init_autoencoder
+
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdtpu_io_scale"
+    os.makedirs(work, exist_ok=True)
+    cfg = SD_V1_4
+
+    t0 = time.perf_counter()
+    key = rng.host_key(0)
+    k1, k2, k3 = rng.split(key, 3)
+    params = {
+        "clip": init_clip(k1, cfg.clip),
+        "unet": init_unet(k2, cfg.unet),
+        "autoencoder": init_autoencoder(k3, cfg.vae),
+        "alphas_cumprod": np.asarray(scaled_linear_alphas_cumprod(1000)),
+        "n_steps": 1000,
+    }
+    n_params = sum(np.asarray(l).size
+                   for l in jax.tree_util.tree_leaves(params))
+    print(f"init SD-v1 host tree: {time.perf_counter()-t0:.1f}s, "
+          f"{n_params/1e6:.0f}M params ({n_params*4/1e9:.2f}GB f32), "
+          f"rss {rss_gb():.1f}GB", flush=True)
+
+    # ---- 1. LDM ckpt key-mapping at full scale -----------------------
+    from tests.test_io import _ldm_state_dict
+    from sdtpu.io.ckpt import convert_state_dict
+
+    t0 = time.perf_counter()
+    state_dict = _ldm_state_dict(params, cfg)
+    t1 = time.perf_counter()
+    converted = convert_state_dict(state_dict, cfg)
+    converted["n_steps"] = 1000
+    print(f"ckpt: inverse-map {t1-t0:.1f}s, convert_state_dict "
+          f"{time.perf_counter()-t1:.1f}s ({len(state_dict)} keys), "
+          f"rss {rss_gb():.1f}GB", flush=True)
+    check_equal(params, converted, "ldm-ckpt -> params")
+    del state_dict, converted
+
+    # ---- 2. native safetensors ---------------------------------------
+    from sdtpu.io.native import load_native, save_native
+
+    npath = os.path.join(work, "sd_v1_scale.safetensors")
+    t0 = time.perf_counter()
+    save_native(params, npath, cfg)
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loaded, cfg2 = load_native(npath)
+    tl = time.perf_counter() - t0
+    print(f"native: save {ts:.1f}s, load {tl:.1f}s, {du_gb(npath):.2f}GB, "
+          f"rss {rss_gb():.1f}GB", flush=True)
+    assert cfg2.name == cfg.name
+    check_equal(params, loaded, "native round-trip")
+    del loaded
+
+    # ---- 3. reference npy dump tree ----------------------------------
+    from sdtpu.io import npy_tree
+    from sdtpu.io.npy_tree import (load_stable_diffusion_dump,
+                                   save_stable_diffusion_dump)
+
+    dpath = os.path.join(work, "dump")
+    if os.path.isdir(dpath):
+        shutil.rmtree(dpath)
+    t0 = time.perf_counter()
+    save_stable_diffusion_dump(params, dpath, cfg)
+    ts = time.perf_counter() - t0
+    print(f"dump: save {ts:.1f}s, {n_files(dpath)} files, "
+          f"{du_gb(dpath):.2f}GB, rss {rss_gb():.1f}GB", flush=True)
+
+    from sdtpu import runtime
+
+    t0 = time.perf_counter()
+    loaded = load_stable_diffusion_dump(dpath, cfg)
+    tb = time.perf_counter() - t0
+    mode = "bulk" if runtime.available() else "serial(no-runtime)"
+    print(f"dump: load[{mode}] {tb:.1f}s, rss {rss_gb():.1f}GB", flush=True)
+    check_equal(params, loaded, f"dump round-trip ({mode})")
+    del loaded
+
+    if runtime.available():
+        # serial fallback: same walk, np.load per file
+        orig = npy_tree._preload_tree
+        npy_tree._preload_tree = lambda root: None
+        npy_tree._PRELOAD.clear()
+        try:
+            t0 = time.perf_counter()
+            loaded = load_stable_diffusion_dump(dpath, cfg)
+            tser = time.perf_counter() - t0
+        finally:
+            npy_tree._preload_tree = orig
+        print(f"dump: load[serial] {tser:.1f}s "
+              f"(bulk speedup {tser/tb:.2f}x), rss {rss_gb():.1f}GB",
+              flush=True)
+        check_equal(params, loaded, "dump round-trip (serial)")
+        del loaded
+
+    # ---- 4. burn mpk --------------------------------------------------
+    from sdtpu.io.mpk import load_mpk, save_mpk
+
+    mpath = os.path.join(work, "sd_v1_scale.mpk")
+    t0 = time.perf_counter()
+    save_mpk(params, mpath)
+    ts = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loaded = load_mpk(mpath)
+    tl = time.perf_counter() - t0
+    print(f"mpk: save {ts:.1f}s, load {tl:.1f}s, {du_gb(mpath):.2f}GB, "
+          f"rss {rss_gb():.1f}GB", flush=True)
+    # mpk stores tensors by path (the reader rebuilds by sorted path, and
+    # normalises scalars) — compare path-sorted like test_io does
+    flat_in = jax.tree_util.tree_leaves_with_path(params)
+    flat_out = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_in) == len(flat_out), "mpk: leaf count differs"
+    for (pa, a), (pb, b) in zip(sorted(flat_in, key=lambda t: str(t[0])),
+                                sorted(flat_out, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb), f"mpk: path {pa} vs {pb}"
+        if not np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32)):
+            raise AssertionError(f"mpk: leaf {pa} differs")
+    print(f"  bit-equal: mpk round-trip ({len(flat_in)} leaves)", flush=True)
+
+    print(f"ALL PATHS BIT-EXACT at SD-v1 scale; peak rss {rss_gb():.1f}GB",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
