@@ -178,6 +178,32 @@ def sample_main(argv=None) -> None:
     from sdtpu.utils import profiling
     from sdtpu.utils.image import save_images
 
+    # Cold-start overlap: AOT-compile + zero-execute the sampler/decode
+    # graphs on a background thread while the weights load from disk and
+    # upload — the compile needs only shapes (sdtpu/warm.py; the eager
+    # reference pays no compile at all, so this is the path that keeps
+    # first-image wall clock competitive). Best-effort: a preset/shape
+    # mismatch just wastes the warm compile; the real call falls back to
+    # the jit path. Accelerator-only — on CPU the zero-exec would COST a
+    # full 20-step UNet run. SDTPU_OVERLAP=0 disables.
+    import os as _os
+
+    if init_image is None and _os.environ.get("SDTPU_OVERLAP", "1") != "0":
+        try:
+            from sdtpu.config import PRESETS as _P
+            from sdtpu.warm import NOISE_FREE_SAMPLERS, WarmStart
+
+            if (sampler in NOISE_FREE_SAMPLERS
+                    and jax.devices()[0].platform != "cpu"):
+                WarmStart(_P[preset], batch=batch,
+                          size=_P[preset].image_size,
+                          compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                          guidance_scale=guidance_scale, n_steps=n_steps,
+                          sampler=sampler, karras_sigmas=karras).start()
+                print("Warming sampler compile in the background...")
+        except Exception:
+            pass  # warm is an optimization, never a failure mode
+
     print("Loading tokenizer...")
     with profiling.phase("load_tokenizer"):
         tokenizer = SimpleTokenizer()
