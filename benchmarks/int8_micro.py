@@ -51,12 +51,15 @@ def make_runner(fn, args):
         def body(c, _):
             out = fn(*c)
             out = out[0] if isinstance(out, tuple) else out
-            # 1e-38 (not 0.0): XLA folds mul-by-0 to a constant, making
-            # the carry loop-invariant and HOISTING the dot out of the
-            # scan — first-run rows read ~0/negative. A subnormal factor
-            # is numerically a no-op but keeps the data dependence.
-            c0 = c[0] + (1e-38 * jnp.mean(out.astype(jnp.float32))).astype(
-                c[0].dtype)
+            # Two traps (both hit in earlier runs, rows read over-peak
+            # or negative): (a) 0.0*mean folds to a constant and the dot
+            # HOISTS out of the scan; (b) a LINEAR reduction of a dot
+            # reassociates — XLA rewrites mean(q@k^T) into
+            # sum_d(colsum(q)*colsum(k)), O(S*d), eliminating the dot.
+            # mean(out^2) is quartic in the inputs (no such rewrite) and
+            # the 1e-38 factor keeps the carry data-dependent.
+            c0 = c[0] + (1e-38 * jnp.mean(
+                jnp.square(out.astype(jnp.float32)))).astype(c[0].dtype)
             return (c0,) + c[1:], None
         c, _ = jax.lax.scan(body, args, None, length=n)
         return jnp.sum(c[0].astype(jnp.float32))
