@@ -284,9 +284,14 @@ def finetune_main(argv=None) -> None:
     finetune <model_type> <model_name> <data_dir|cache.npz> <out_model>
              [--steps N] [--batch B] [--accum K] [--accum-bf16] [--lr F]
              [--ema DECAY] [--bf16] [--remat] [--remat-policy full|dots|heavy]
-             [--opt adamw|adafactor] [--save-every N]
+             [--opt adamw|adafactor] [--fast] [--save-every N]
              [--state-dir DIR] [--resume] [--preset P] [--seed N] [--tp N]
              [--device cpu|tpu] [--lora-rank R] [--lora-alpha A] [--flip]
+
+    --fast applies the measured best-throughput full-finetune config
+    (adafactor, batch 8, no remat: 29.1 img/s vs 20.7 for adamw/batch-4/
+    heavy-remat on v5e-16GB, BENCHLOG r5); explicit flags override its
+    pieces regardless of position.
 
     --lora-rank trains a LoRA adapter over the attention linears instead
     of the full UNet (sdtpu/lora.py); writes both the merged model and
@@ -306,6 +311,14 @@ def finetune_main(argv=None) -> None:
             "seed": 0, "tp": 1, "device": None, "lora_rank": None,
             "lora_alpha": None, "flip": False, "ti": None, "ti_vectors": 1,
             "ti_init": None, "ti_lr": None}
+    if "--fast" in argv:
+        # measured fast-training preset (BENCHLOG r5 adafactor sweep):
+        # the factored second moment frees AdamW's 6.9GB m/v, which buys
+        # batch 8 with no remat — 29.1 img/s vs 20.7 for the r4
+        # adamw/heavy config. Applied as new DEFAULTS before parsing, so
+        # any explicit flag overrides its piece regardless of position.
+        argv = [a for a in argv if a != "--fast"]
+        opts.update({"opt": "adafactor", "batch": 8, "remat": False})
     i, positional = 1, [argv[0]]
 
     def flag_value(idx: int) -> str:

@@ -84,3 +84,42 @@ def test_bad_guidance_scale(capsys):
         sample_main(["sample", "dump", "model", "abc", "20", "p", "out"])
     assert e.value.code == 1
     assert "Invalid unconditional guidance scale" in capsys.readouterr().err
+
+def _run_finetune_capture(monkeypatch):
+    """Stub model load / tokenizer / run_finetune; return the kwargs dict
+    that finetune_main forwards to run_finetune."""
+    import sdtpu.cli as cli
+    import sdtpu.finetune as finetune
+    import sdtpu.tokenizer as tokenizer
+
+    captured = {}
+
+    def fake_run(sd, tok, data, out_model, **kw):
+        captured.update(kw)
+        return {"final_loss": 0.0, "steps_per_sec": 0.0, "out_path": out_model}
+
+    monkeypatch.setattr(cli, "load_model",
+                        lambda *a, **k: object())
+    monkeypatch.setattr(tokenizer, "SimpleTokenizer", lambda: object())
+    monkeypatch.setattr(finetune, "run_finetune", fake_run)
+    return captured
+
+
+def test_finetune_fast_preset(monkeypatch):
+    """--fast selects the measured winner (BENCHLOG r5): adafactor,
+    batch 8, no remat."""
+    captured = _run_finetune_capture(monkeypatch)
+    finetune_main(["finetune", "--fast", "native", "m", "d", "o"])
+    assert captured["opt_kind"] == "adafactor"
+    assert captured["batch_size"] == 8
+    assert captured["remat"] is False
+
+
+def test_finetune_fast_explicit_flags_override(monkeypatch):
+    """Explicit flags beat --fast regardless of position."""
+    captured = _run_finetune_capture(monkeypatch)
+    finetune_main(["finetune", "--batch", "4", "--fast", "--opt", "adamw",
+                   "native", "m", "d", "o"])
+    assert captured["opt_kind"] == "adamw"
+    assert captured["batch_size"] == 4
+    assert captured["remat"] is False
