@@ -14,6 +14,7 @@ Native components (mirroring the reference's native-Rust surface):
 from __future__ import annotations
 
 import ctypes
+import mmap
 import os
 from functools import lru_cache
 from typing import List, Optional
@@ -124,8 +125,18 @@ def png_encode_rgb8(img: np.ndarray) -> Optional[bytes]:
         lib.sdtpu_free(out)
 
 
-def read_files_bulk(paths: List[str], n_threads: int = 8) -> Optional[List[bytes]]:
-    """Read many files concurrently; None if the native lib is absent."""
+def read_files_bulk(paths: List[str],
+                    n_threads: int = 8) -> Optional[List[memoryview]]:
+    """Read many files concurrently; None if the native lib is absent.
+
+    Returns zero-copy memoryviews into one shared mmap arena. Two traps
+    at SD-v1 scale (2793 files / 4.3GB, measured r5, BENCHLOG):
+    per-file ctypes buffers (create_string_buffer + .raw copies cost
+    minutes), and a single np.empty arena — numpy MADV_HUGEPAGEs
+    allocations >=4MB, and under THP defrag=madvise every first-touch
+    fault inside the C fread then does synchronous compaction (19.4s vs
+    1.3s per 1.86GB). mmap.mmap(-1, total) gets plain anonymous pages.
+    """
     lib = _lib()
     if lib is None:
         return None
@@ -133,10 +144,21 @@ def read_files_bulk(paths: List[str], n_threads: int = 8) -> Optional[List[bytes
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lens = (ctypes.c_uint64 * n)()
     lib.sdtpu_file_sizes(c_paths, n, lens)
-    bufs = [ctypes.create_string_buffer(int(lens[i])) for i in range(n)]
-    c_bufs = (ctypes.POINTER(ctypes.c_uint8) * n)(
-        *[ctypes.cast(b, ctypes.POINTER(ctypes.c_uint8)) for b in bufs])
+    sizes = [int(lens[i]) for i in range(n)]
+    total = sum(sizes)
+    if total == 0:
+        return [memoryview(b"")[:0] for _ in sizes]
+    arena = mmap.mmap(-1, total)
+    base = ctypes.addressof(ctypes.c_char.from_buffer(arena))
+    c_bufs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    offs = []
+    off = 0
+    for i, s in enumerate(sizes):
+        offs.append(off)
+        c_bufs[i] = ctypes.cast(base + off, ctypes.POINTER(ctypes.c_uint8))
+        off += s
     ok = lib.sdtpu_read_files(c_paths, n, c_bufs, lens, n_threads)
     if ok != n:
         return None
-    return [b.raw[: int(lens[i])] for i, b in enumerate(bufs)]
+    view = memoryview(arena)  # keeps the arena alive via each slice
+    return [view[o: o + s] for o, s in zip(offs, sizes)]

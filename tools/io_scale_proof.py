@@ -118,6 +118,7 @@ def main():
     t0 = time.perf_counter()
     save_native(params, npath, cfg)
     ts = time.perf_counter() - t0
+    os.sync()  # see the dump-phase comment: don't time writeback
     t0 = time.perf_counter()
     loaded, cfg2 = load_native(npath)
     tl = time.perf_counter() - t0
@@ -140,6 +141,11 @@ def main():
     ts = time.perf_counter() - t0
     print(f"dump: save {ts:.1f}s, {n_files(dpath)} files, "
           f"{du_gb(dpath):.2f}GB, rss {rss_gb():.1f}GB", flush=True)
+    # drain the 4.3GB of dirty pages the save queued: without this the
+    # load times measure writeback contention on the slow virtual disk,
+    # not the read path (bulk read 164s during writeback vs 5-13s after;
+    # BENCHLOG r5)
+    os.sync()
 
     from sdtpu import runtime
 
@@ -175,6 +181,7 @@ def main():
     t0 = time.perf_counter()
     save_mpk(params, mpath)
     ts = time.perf_counter() - t0
+    os.sync()  # see the dump-phase comment: don't time writeback
     t0 = time.perf_counter()
     loaded = load_mpk(mpath)
     tl = time.perf_counter() - t0
