@@ -573,3 +573,29 @@ def test_overfit_reproduces_training_image(sd, tokenizer):
     # BOTH clear an absolute bar and beat its baseline by a wide margin
     assert after > before + 8.0, (before, after)
     assert after > 20.0, (before, after)
+
+
+def test_adafactor_loss_decreases():
+    """make_optimizer(kind="adafactor") — the `finetune --fast` optimizer
+    (BENCHLOG r5: batch 8 no-remat, +40% over adamw/heavy at SD-v1
+    scale) — must train: finite losses, clear decrease on an overfit
+    batch, and a param tree that actually moved."""
+    params = tiny_params()["unet"]
+    opt = make_optimizer(lr=2e-3, warmup_steps=0, total_steps=25,
+                         kind="adafactor")
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(TINY, opt))
+    batch = _fixed_batch()
+    losses = []
+    p = params
+    for _ in range(25):
+        p, opt_state, loss = step(p, opt_state, batch, jax.random.PRNGKey(7))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # adafactor's relative step sizing descends slower than adam on this
+    # tiny overfit (1.105 -> 0.909 over 25 steps, deterministic): gate
+    # on a clear-but-achievable decrease
+    assert np.mean(losses[-5:]) < 0.9 * np.mean(losses[:5]), losses
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), params, p)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
