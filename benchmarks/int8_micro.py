@@ -43,24 +43,28 @@ EXTRA = int(os.environ.get("EXTRA", "64"))
 
 
 def make_runner(fn, args):
-    """scan-in-jit timing: carry args[0] through a 0*mean(out) feedback
-    so the dot can't be CSE'd/hoisted; scalar fetch is the device sync
-    (CLAUDE.md methodology)."""
+    """scan-in-jit timing: carry EVERY arg through a ~0*mean(out)
+    feedback so no per-iteration work can be CSE'd/hoisted; scalar fetch
+    is the device sync (CLAUDE.md methodology)."""
 
     def run(args, n):
         def body(c, _):
             out = fn(*c)
             out = out[0] if isinstance(out, tuple) else out
-            # Two traps (both hit in earlier runs, rows read over-peak
+            # Three traps (all hit in earlier runs, rows read over-peak
             # or negative): (a) 0.0*mean folds to a constant and the dot
             # HOISTS out of the scan; (b) a LINEAR reduction of a dot
             # reassociates — XLA rewrites mean(q@k^T) into
-            # sum_d(colsum(q)*colsum(k)), O(S*d), eliminating the dot.
-            # mean(out^2) is quartic in the inputs (no such rewrite) and
-            # the 1e-38 factor keeps the carry data-dependent.
-            c0 = c[0] + (1e-38 * jnp.mean(
-                jnp.square(out.astype(jnp.float32)))).astype(c[0].dtype)
-            return (c0,) + c[1:], None
+            # sum_d(colsum(q)*colsum(k)), O(S*d), eliminating the dot;
+            # (c) feedback into only ONE carried arg leaves per-arg
+            # preprocessing of the OTHERS (k-side dynamic quant, weight
+            # dequant) loop-invariant, hoisting it out of the timed
+            # body. mean(out^2) is quartic in the inputs (no such
+            # rewrite), the 1e-38 factor keeps the carry data-dependent
+            # (value ~0 but not statically foldable, incl. the ->int8
+            # convert), and every carry leaf gets the feedback.
+            eps = 1e-38 * jnp.mean(jnp.square(out.astype(jnp.float32)))
+            return tuple(ci + eps.astype(ci.dtype) for ci in c), None
         c, _ = jax.lax.scan(body, args, None, length=n)
         return jnp.sum(c[0].astype(jnp.float32))
 
@@ -197,10 +201,11 @@ def main():
                                    preferred_element_type=jnp.float32)
 
     flops = 2 * m * cin * cout
+    # wi8/wsc are CARRIED (not closed over) so the dequant stays inside
+    # the timed body — see trap (c) in make_runner
     ab("proj weight-only", flops,
        [("bf16", make_runner(proj_bf16, (xb, wb))),
-        ("w-only-int8", make_runner(
-            lambda x: proj_wonly(x, wi8, wsc), (xb,)))])
+        ("w-only-int8", make_runner(proj_wonly, (xb, wi8, wsc)))])
 
 
 if __name__ == "__main__":

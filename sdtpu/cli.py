@@ -8,6 +8,7 @@ sample  (reference: src/bin/sample/main.rs:36-114):
 convert (reference: src/bin/convert/main.rs:36-58):
     convert <dump_path> <model_name>           # npy tree -> native
     convert --ckpt <sd.ckpt> <model_name>      # torch ckpt -> native
+    convert --mpk <model.mpk> <model_name>     # Burn NamedMpk -> native
     convert --to-dump <native> <dump_path>     # native -> npy tree
     convert --to-mpk <native> <mpk_path>       # native -> Burn NamedMpk
 
@@ -43,10 +44,24 @@ def _select_device(device_arg):
     """Map the reference's device names onto JAX platforms. cuda/mps have
     no meaning on a TPU host; they select the default accelerator, cpu
     forces the CPU backend (must happen before backend init)."""
+    import os
+
     import jax
 
     if device_arg and device_arg.lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache, same location as bench.py: repeat CLI
+    # runs skip the remote XLA compiles, and the background warm thread's
+    # AOT compile seeds the cache for the main thread's jit path (the
+    # two build the identical program), so the warm is not wasted even
+    # though the CLI samples through the plain jit entry points.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("SDTPU_CACHE",
+                                         "/tmp/sdtpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def load_model(model_type: str, model_name: str, preset: str = "sd-v1-4",
@@ -182,10 +197,13 @@ def sample_main(argv=None) -> None:
     # graphs on a background thread while the weights load from disk and
     # upload — the compile needs only shapes (sdtpu/warm.py; the eager
     # reference pays no compile at all, so this is the path that keeps
-    # first-image wall clock competitive). Best-effort: a preset/shape
-    # mismatch just wastes the warm compile; the real call falls back to
-    # the jit path. Accelerator-only — on CPU the zero-exec would COST a
-    # full 20-step UNet run. SDTPU_OVERLAP=0 disables.
+    # first-image wall clock competitive). The CLI samples through the
+    # plain jit entry points; the warm pays off via (a) the persistent
+    # compile cache the AOT compile seeds (enabled in _select_device) and
+    # (b) the server-side program load its zero-exec forces. Best-effort:
+    # a preset/shape mismatch just wastes the warm compile; the real call
+    # falls back to the jit path. Accelerator-only — on CPU the zero-exec
+    # would COST a full 20-step UNet run. SDTPU_OVERLAP=0 disables.
     import os as _os
 
     if init_image is None and _os.environ.get("SDTPU_OVERLAP", "1") != "0":
@@ -463,6 +481,16 @@ def convert_main(argv=None) -> None:
         save_native(params, f"{argv[3]}.safetensors", cfg)
         print(f"Model saved to {argv[3]}.safetensors")
         return
+    if len(argv) == 4 and argv[1] == "--mpk":
+        # Burn NamedMpk -> native: the one ingest direction `sample burn`
+        # could reach but convert could not (r5 review) — completes the
+        # conversion matrix (every format to and from native)
+        from sdtpu.io.mpk import load_mpk
+
+        params = load_mpk(argv[2])
+        save_native(params, f"{argv[3]}.safetensors", cfg)
+        print(f"Model saved to {argv[3]}.safetensors")
+        return
     if len(argv) == 4 and argv[1] == "--to-dump":
         from sdtpu.io.npy_tree import save_stable_diffusion_dump
 
@@ -484,6 +512,7 @@ def convert_main(argv=None) -> None:
     if len(argv) != 3:
         _fail(f"Usage: {argv[0]} <dump_path> <model_name> | "
               f"{argv[0]} --ckpt <sd.ckpt> <model_name> | "
+              f"{argv[0]} --mpk <model.mpk> <model_name> | "
               f"{argv[0]} --to-dump <native> <dump_path> | "
               f"{argv[0]} --to-mpk <native> <mpk_path>")
 

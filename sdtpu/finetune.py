@@ -291,13 +291,18 @@ def run_finetune(
             # states written by the brief training.multi_steps routing
             # before r4's optax.MultiSteps fix, or a different
             # --accum/--accum-bf16/--opt combination) fail the template
-            # restore with an opaque tree mismatch (ADVICE r4)
+            # restore with an opaque tree mismatch (ADVICE r4). The same
+            # exception types also cover a corrupt/truncated save, so
+            # keep the underlying error in the message rather than
+            # asserting the mismatch diagnosis.
             raise RuntimeError(
-                f"--resume: train state at {state_dir!r} does not match "
-                f"the current optimizer configuration (accum={accum}, "
-                f"accum_bf16={accum_bf16}, opt={opt_kind}). Resume with "
-                f"the flags the state was saved under, or restart "
-                f"training from the model checkpoint.") from e
+                f"--resume: failed to restore train state at "
+                f"{state_dir!r} [{type(e).__name__}: {e}]. If these "
+                f"flags (accum={accum}, accum_bf16={accum_bf16}, "
+                f"opt={opt_kind}) differ from the ones the state was "
+                f"saved under, resume with the original flags or restart "
+                f"from the model checkpoint; if they match, the saved "
+                f"state is likely incomplete or corrupt.") from e
         log(f"resumed step {step0} from {state_dir}")
 
     # EMA is applied host-side at optimizer-step boundaries (with accum>1

@@ -423,7 +423,8 @@ class Handler(BaseHTTPRequestHandler):
             if karras and sampler == "ddim":
                 raise ValueError(
                     "karras needs sampler dpmpp|euler|euler_a|heun")
-            lora = req.get("lora")
+            # "" means "no adapter", same as the batcher's falsy check
+            lora = req.get("lora") or None
             if lora is not None and lora not in STATE.batcher.loras:
                 raise ValueError(
                     f"unknown lora {lora!r} (loaded: "
@@ -506,27 +507,36 @@ def make_server(sd, tokenizer, port: int = 8000, warmup: bool = True,
 def main(argv=None):
     argv = list(sys.argv if argv is None else argv)
     port, steps, preset, bf16, lora_spec = 8000, 20, "sd-v1-4", False, None
+
+    def usage():
+        print(f"Usage: {argv[0]} <model_type> <model> [--port N] [--steps N]"
+              " [--preset P] [--bf16] [--lora name=A.safetensors,...]",
+              file=sys.stderr)
+        sys.exit(1)
+
+    def val(i):  # value of a --flag, guarded (a bare trailing flag -> usage)
+        if i + 1 >= len(argv):
+            usage()
+        return argv[i + 1]
+
     pos = [argv[0]]
     i = 1
     while i < len(argv):
         a = argv[i]
         if a == "--port":
-            port = int(argv[i + 1]); i += 2
+            port = int(val(i)); i += 2
         elif a == "--steps":
-            steps = int(argv[i + 1]); i += 2
+            steps = int(val(i)); i += 2
         elif a == "--preset":
-            preset = argv[i + 1]; i += 2
+            preset = val(i); i += 2
         elif a == "--lora":
-            lora_spec = argv[i + 1]; i += 2
+            lora_spec = val(i); i += 2
         elif a == "--bf16":
             bf16 = True; i += 1
         else:
             pos.append(a); i += 1
     if len(pos) != 3:
-        print(f"Usage: {pos[0]} <model_type> <model> [--port N] [--steps N]"
-              " [--preset P] [--bf16] [--lora name=A.safetensors,...]",
-              file=sys.stderr)
-        sys.exit(1)
+        usage()
 
     import jax.numpy as jnp
 
@@ -536,8 +546,12 @@ def main(argv=None):
     print("Loading model...")
     sd = load_model(pos[1], pos[2], preset,
                     compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    loras = load_loras(lora_spec) if lora_spec else None
+    if loras:
+        print(f"Loaded LoRA adapters: {sorted(loras)}")
     print("Warming up (compiling)...")
-    server = make_server(sd, SimpleTokenizer(), port, default_steps=steps)
+    server = make_server(sd, SimpleTokenizer(), port, default_steps=steps,
+                         loras=loras)
     print(f"Serving on :{port}")
     server.serve_forever()
 

@@ -89,7 +89,10 @@ def build_sample_avals(config, *, batch: int, size: int, compute_dtype,
 
     n_ctx, width = config.clip.n_ctx, config.clip.n_state
     cdt = np.dtype(compute_dtype)
-    hw = size // 8
+    # config-derived spatial factor, NOT a hardcoded 8: presets with
+    # fewer VAE levels (e.g. the tiny test config) have vae_factor != 8
+    # and a mismatched aval would waste the whole warm compile+exec
+    hw = size // config.vae_factor
     return dict(
         params=params,
         latent=jax.ShapeDtypeStruct((batch, hw, hw, 4), np.float32),

@@ -468,3 +468,23 @@ def test_convert_to_mpk_cli(tmp_path):
     assert_trees_equal(
         {k: v for k, v in params.items() if k != "n_steps"},
         {k: v for k, v in loaded.items() if k != "n_steps"})
+
+
+def test_convert_mpk_ingest_cli(tmp_path):
+    """convert --mpk (r5): NamedMpk -> native, completing the conversion
+    matrix — previously only `sample burn` could read an .mpk, so a Burn
+    checkpoint could be sampled but never converted once to the fast
+    native format."""
+    from sdtpu.cli import convert_main
+    from sdtpu.io.native import load_native
+
+    params = tiny_params()
+    native0 = str(tmp_path / "m0.safetensors")
+    save_native(params, native0, TINY)
+    convert_main(["convert", "--to-mpk", native0, str(tmp_path / "m")])
+    convert_main(["convert", "--preset", "sd-tiny", "--mpk",
+                  str(tmp_path / "m.mpk"), str(tmp_path / "m1")])
+    loaded, _cfg = load_native(str(tmp_path / "m1.safetensors"))
+    assert_trees_equal(
+        {k: v for k, v in params.items() if k != "n_steps"},
+        {k: v for k, v in loaded.items() if k != "n_steps"})

@@ -418,3 +418,54 @@ def test_load_loras_spec(tmp_path):
 
     with pytest.raises(ValueError, match="duplicate"):
         load_loras(f"x={p1},x={p2}")
+
+
+def test_empty_lora_means_base(server_port):
+    """lora:"" is 'no adapter' (form-default friendly) — same rule as
+    Batcher.submit's falsy check, not a 400 (r5 review)."""
+    code, resp = _post(server_port, {"prompt": "a stone", "steps": 2,
+                                     "seed": 7, "lora": ""})
+    assert code == 200
+    code2, resp2 = _post(server_port, {"prompt": "a stone", "steps": 2,
+                                       "seed": 7})
+    assert code2 == 200
+    assert resp["images"] == resp2["images"]
+
+
+def test_serve_main_wires_lora(tmp_path, monkeypatch):
+    """Regression: serve's CLI parsed --lora but never passed the loaded
+    adapters to make_server, leaving server-side LoRA unreachable from
+    the shipped entry point (r5 review)."""
+    import jax
+
+    import sdtpu.cli as cli_mod
+    import sdtpu.serve as serve_mod
+    from sdtpu.lora import init_lora, save_lora
+
+    params = tiny_params()
+    lora = init_lora(jax.random.PRNGKey(0), params["unet"], rank=2)
+    p1 = str(tmp_path / "styleA.lora.safetensors")
+    save_lora(lora, p1, rank=2, alpha=4.0, config_name=TINY.name)
+
+    captured = {}
+
+    class _Started(Exception):
+        pass
+
+    def fake_make_server(sd, tok, port, default_steps=20, loras=None, **kw):
+        captured["loras"] = loras
+
+        class _S:
+            def serve_forever(self):
+                raise _Started()
+        return _S()
+
+    monkeypatch.setattr(serve_mod, "make_server", fake_make_server)
+    monkeypatch.setattr(cli_mod, "load_model", lambda *a, **k: object())
+    with pytest.raises(_Started):
+        serve_mod.main(["serve", "native", "x.safetensors", "--lora", p1])
+    assert captured["loras"] is not None and set(captured["loras"]) == {"styleA"}
+
+    # a bare trailing value flag prints usage instead of IndexError
+    with pytest.raises(SystemExit):
+        serve_mod.main(["serve", "native", "x.safetensors", "--lora"])

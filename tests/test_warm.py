@@ -59,7 +59,12 @@ def test_warm_avals_match_real_tree(compute_dtype, init_dtype):
 
 def test_warm_executable_matches_jit_path():
     dtype = jnp.bfloat16
-    batch, size = 1, 512
+    # the latent size must come from the CONFIG's vae_factor (SD_TINY's
+    # 2-level VAE gives f=2, not SD's 8) — the original //8 here masked
+    # the same hardcoded-8 in build_sample_avals (r5 review). size=128
+    # keeps the latent at 64x64, the pre-fix CPU cost.
+    batch, size = 1, 128
+    hw = size // SD_TINY.vae_factor
     sd = StableDiffusion(_spec_params(dtype), SD_TINY, compute_dtype=dtype)
     w = WarmStart(SD_TINY, batch=batch, size=size, compute_dtype=dtype,
                   n_steps=2).start()
@@ -73,7 +78,7 @@ def test_warm_executable_matches_jit_path():
     ctx = jnp.tile(ctx, (batch, 1, 1))
     valid = jnp.tile(valid, (batch, 1))
     lat0 = jax.random.normal(jax.random.PRNGKey(7),
-                             (batch, size // 8, size // 8, 4), jnp.float32)
+                             (batch, hw, hw, 4), jnp.float32)
 
     got = w.sampler(sd.params, lat0, ctx, valid, unctx, unvalid,
                     7.5, None, None, None)
