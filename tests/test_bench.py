@@ -15,6 +15,10 @@ def test_bench_dp_path(monkeypatch, capsys):
     monkeypatch.setenv("SDTPU_BENCH_BATCH", "8")
     monkeypatch.setenv("SDTPU_BENCH_STEPS", "2")
     monkeypatch.setenv("SDTPU_BENCH_ITERS", "1")
+    # sd-tiny's 2-level VAE has vae_factor=2: the default 512px would be
+    # a 256x256 latent (65536-token attention x batch 8 — OOM on CPU).
+    # 64px -> 32x32 latent, the same cost the test always had.
+    monkeypatch.setenv("SDTPU_BENCH_SIZE", "64")
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
